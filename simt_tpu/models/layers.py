@@ -1,0 +1,156 @@
+"""Shared NHWC building blocks for the DeepLab model family.
+
+TPU-first conventions:
+  - NHWC activations / HWIO kernels (XLA's preferred conv layout on TPU);
+  - compute dtype configurable (bfloat16 by default) with float32 params;
+  - BatchNorm with frozen affine parameters but live batch statistics in training, exactly
+    matching the reference's ``requires_grad=False`` + ``model.train()`` combination
+    (model/deeplab_multi.py:64-76 with tools/trainV2_simt.py:308): normalisation uses batch
+    stats during training (and updates running stats), running stats at eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def conv(
+    features: int,
+    kernel: Tuple[int, int],
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    bias: bool = False,
+    name: str,
+    dtype: Any,
+) -> nn.Conv:
+    """Conv matching torch ``nn.Conv2d(kernel, stride, padding, dilation)`` semantics."""
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=bias,
+        kernel_init=nn.initializers.normal(stddev=0.01),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def batch_norm(*, name: str, dtype: Any) -> nn.BatchNorm:
+    """BatchNorm matching torch defaults (momentum 0.1 -> flax momentum 0.9, eps 1e-5)."""
+    return nn.BatchNorm(
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def max_pool_ceil(x: jax.Array, window: int, stride: int, padding: int) -> jax.Array:
+    """Max pool with torch ``ceil_mode=True`` semantics (deeplab_multi.py:133).
+
+    Implemented as a floor-mode pool with asymmetric -inf padding
+    ``(padding, padding + stride - 1)``: floor((H + 2p + s-1 - k)/s) + 1 == ceil-mode size.
+    Valid for the DeepLab geometry (the extra window always overlaps real input here).
+    """
+    pads = ((padding, padding + stride - 1), (padding, padding + stride - 1))
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding=pads)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck with optional dilation (model/deeplab_multi.py:57-101).
+
+    Stride sits on the 1x1 ``conv1`` (the "change" comment in the reference :62), not on
+    the 3x3 — this is the DeepLab variant of torchvision's block. All BN affine params are
+    frozen (optimizer partition handles that; see train/state.py).
+    """
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        residual = x
+        use_ra = not train
+        out = conv(self.planes, (1, 1), stride=self.stride, name="conv1", dtype=self.dtype)(x)
+        out = batch_norm(name="bn1", dtype=self.dtype)(out, use_running_average=use_ra)
+        out = nn.relu(out)
+        out = conv(
+            self.planes,
+            (3, 3),
+            padding=self.dilation,
+            dilation=self.dilation,
+            name="conv2",
+            dtype=self.dtype,
+        )(out)
+        out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=use_ra)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, (1, 1), name="conv3", dtype=self.dtype)(out)
+        out = batch_norm(name="bn3", dtype=self.dtype)(out, use_running_average=use_ra)
+        if self.has_downsample:
+            residual = conv(
+                self.planes * 4, (1, 1), stride=self.stride, name="downsample_conv",
+                dtype=self.dtype,
+            )(x)
+            residual = batch_norm(name="downsample_bn", dtype=self.dtype)(
+                residual, use_running_average=use_ra
+            )
+        return nn.relu(out + residual)
+
+
+class ASPPHead(nn.Module):
+    """ASPP classifier (``Classifier_Module``, model/deeplab_multi.py:104-119).
+
+    Four parallel 3x3 dilated convs (dilations 6/12/18/24) whose outputs are summed.
+    ``effective_branches`` replicates the reference's early-return quirk
+    (deeplab_multi.py:115-119): the multi-head and VGG models effectively sum only the
+    first two branches; the single-head model (deeplab.py:112-116) sums all four. All four
+    branches' parameters are always created for checkpoint compatibility; unused branches
+    cost zero FLOPs and are excluded from optimizer updates (matching torch, where unused
+    params receive no grad and SGD skips them).
+    """
+
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+    effective_branches: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        out = None
+        for i, d in enumerate(self.dilations):
+            w = self.param(
+                f"branch{i}_kernel",
+                nn.initializers.normal(stddev=0.01),
+                (3, 3, in_ch, self.num_classes),
+                jnp.float32,
+            )
+            b = self.param(
+                f"branch{i}_bias", nn.initializers.zeros, (self.num_classes,), jnp.float32
+            )
+            if i >= self.effective_branches:
+                continue
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((d, d), (d, d)),
+                rhs_dilation=(d, d),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ) + b
+            out = y if out is None else out + y
+        return out.astype(self.dtype)

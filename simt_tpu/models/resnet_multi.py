@@ -1,0 +1,122 @@
+"""DeepLabv2-ResNet101 multi-head — the flagship trained model.
+
+Re-designs ``ResNetMulti`` / ``DeeplabMulti`` (model/deeplab_multi.py:122-242) TPU-first:
+NHWC activations, bfloat16 conv compute on the MXU with float32 params, XLA dilated convs
+(``rhs_dilation``) for layers 3/4 and the ASPP heads, and a functional forward under
+``jax.jit``. Geometry matches the reference exactly:
+
+  - 7x7/2 stem + ceil-mode 3x3/2 max pool (deeplab_multi.py:127-133);
+  - layer1 (3 blocks), layer2 (4 blocks, stride 2), layer3 (23 blocks, dilation 2),
+    layer4 (3 blocks, dilation 4) — output stride 8 (deeplab_multi.py:134-137);
+  - ``layer5`` ASPP on layer3 features (1024ch), ``layer6`` on layer4 (2048ch), with the
+    effective 2-branch sum quirk (deeplab_multi.py:115-119);
+  - optional open-set heads ``layer5_1``/``layer6_1`` concatenated channel-wise
+    (deeplab_multi.py:140-142,182-190).
+
+Returns ``(x1, x2)`` logits at stride 8 in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import ASPPHead, Bottleneck, batch_norm, conv, max_pool_ceil
+
+
+class ResNetMulti(nn.Module):
+    num_classes: int = 19
+    open_classes: int = 0
+    openset: bool = False
+    layers: Sequence[int] = (3, 4, 23, 3)
+    aspp_effective_branches: int = 2
+    dtype: Any = jnp.bfloat16
+
+    def _res_layer(
+        self, x: jax.Array, idx: int, planes: int, blocks: int, stride: int, dilation: int,
+        train: bool,
+    ) -> jax.Array:
+        # Downsample on the first block iff stride != 1, channel change, or dilation in
+        # {2, 4} (deeplab_multi.py:152-158 — dilated layers always get a projection).
+        in_ch = x.shape[-1]
+        has_ds = stride != 1 or in_ch != planes * 4 or dilation in (2, 4)
+        x = Bottleneck(
+            planes,
+            stride=stride,
+            dilation=dilation,
+            has_downsample=has_ds,
+            dtype=self.dtype,
+            name=f"layer{idx}_0",
+        )(x, train)
+        for i in range(1, blocks):
+            x = Bottleneck(
+                planes, dilation=dilation, dtype=self.dtype, name=f"layer{idx}_{i}"
+            )(x, train)
+        return x
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """x: (B, H, W, 3) mean-subtracted BGR. Returns stride-8 logit maps (f32)."""
+        x = x.astype(self.dtype)
+        x = conv(64, (7, 7), stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        x = batch_norm(name="bn1", dtype=self.dtype)(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = max_pool_ceil(x, window=3, stride=2, padding=1)
+        x = self._res_layer(x, 1, 64, self.layers[0], stride=1, dilation=1, train=train)
+        x = self._res_layer(x, 2, 128, self.layers[1], stride=2, dilation=1, train=train)
+        x = self._res_layer(x, 3, 256, self.layers[2], stride=1, dilation=2, train=train)
+
+        x1 = ASPPHead(
+            self.num_classes,
+            effective_branches=self.aspp_effective_branches,
+            dtype=self.dtype,
+            name="layer5",
+        )(x)
+        if self.openset:
+            x1_1 = ASPPHead(
+                self.open_classes,
+                effective_branches=self.aspp_effective_branches,
+                dtype=self.dtype,
+                name="layer5_1",
+            )(x)
+            x1 = jnp.concatenate([x1, x1_1], axis=-1)
+
+        x = self._res_layer(x, 4, 512, self.layers[3], stride=1, dilation=4, train=train)
+        x2 = ASPPHead(
+            self.num_classes,
+            effective_branches=self.aspp_effective_branches,
+            dtype=self.dtype,
+            name="layer6",
+        )(x)
+        if self.openset:
+            x2_1 = ASPPHead(
+                self.open_classes,
+                effective_branches=self.aspp_effective_branches,
+                dtype=self.dtype,
+                name="layer6_1",
+            )(x)
+            x2 = jnp.concatenate([x2, x2_1], axis=-1)
+
+        return x1.astype(jnp.float32), x2.astype(jnp.float32)
+
+
+def deeplab_multi(
+    num_classes: int = 19,
+    open_classes: int = 0,
+    openset: bool = False,
+    *,
+    dtype: Any = jnp.bfloat16,
+    aspp_effective_branches: int = 2,
+) -> ResNetMulti:
+    """Factory matching ``DeeplabMulti`` (model/deeplab_multi.py:240-242): ResNet-101."""
+    return ResNetMulti(
+        num_classes=num_classes,
+        open_classes=open_classes,
+        openset=openset,
+        layers=(3, 4, 23, 3),
+        aspp_effective_branches=aspp_effective_branches,
+        dtype=dtype,
+    )
