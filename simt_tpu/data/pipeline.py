@@ -1,0 +1,273 @@
+"""Host input pipeline: decode -> resize -> augment -> normalise -> batch -> device.
+
+Replaces the reference's ``torch.utils.data`` Datasets + 4-worker DataLoader
+(dataset/cityscapes_dataset.py, dataset/gta5_dataset.py; wired up at
+tools/trainV2_simt.py:287-292) with a thread-pool loader that double-buffers batches and
+overlaps host preprocessing with device compute via an async ``jax.device_put`` prefetch.
+
+Semantics preserved exactly:
+  - PIL bicubic resize for images / nearest for labels (cityscapes_dataset.py:105-106);
+  - optional horizontal mirror with p=0.5 (:111-114) — here driven by a *seeded* generator
+    (the reference's per-worker ``np.random`` is unseeded, so parity is distribution-level;
+    SURVEY.md §5 race-detection row);
+  - RGB->BGR flip + mean subtraction (:117-118);
+  - GTA5 id->trainid remap with 255 fill (gta5_dataset.py:60-63);
+  - epoch-free iteration: the index list is reshuffled each epoch and repeated
+    indefinitely (the reference repeats the list ceil(max_iters/len) times, :77-78).
+
+Layout: images are produced NHWC float32 (TPU-native), not the reference's CHW.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import lists
+
+try:  # native C++ preprocessing extension (optional fast path)
+    from . import _native_preproc as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+def _open_image(path: str, mode: str = "RGB"):
+    from PIL import Image
+
+    img = Image.open(path)
+    return img.convert(mode) if mode else img
+
+
+def load_image_bgr(
+    path: str,
+    crop_wh: Tuple[int, int],
+    mean_bgr: Sequence[float],
+) -> np.ndarray:
+    """Decode + bicubic resize to (w,h) + BGR + mean-sub, HWC float32
+    (cityscapes_dataset.py:100,105,108,117-118)."""
+    from PIL import Image
+
+    img = _open_image(path).resize(crop_wh, Image.BICUBIC)
+    arr = np.asarray(img, np.float32)
+    arr = arr[:, :, ::-1] - np.asarray(mean_bgr, np.float32)
+    return arr
+
+
+def load_label(path: str, crop_wh: Tuple[int, int]) -> np.ndarray:
+    """Decode + nearest resize, HW int32 (cityscapes_dataset.py:101,106)."""
+    from PIL import Image
+
+    lab = _open_image(path, mode=None).resize(crop_wh, Image.NEAREST)
+    return np.asarray(lab, np.int32)
+
+
+def remap_gta5_ids(label: np.ndarray, ignore_label: int = 255) -> np.ndarray:
+    """GTA5 label ids -> Cityscapes train ids, others -> ignore (gta5_dataset.py:60-63)."""
+    out = np.full(label.shape, ignore_label, np.int32)
+    for k, v in lists.GTA5_ID_TO_TRAINID.items():
+        out[label == k] = v
+    return out
+
+
+@dataclass
+class Sample:
+    image_path: str
+    label_path: Optional[str]
+    name: str
+    gta5_remap: bool = False
+
+
+class SegDataset:
+    """Unified dataset over the three reference loader flavours.
+
+    - ``cityscapes_pseudo(root, lst)``: image+pseudo-label pairs (cityscapesPseudo,
+      cityscapes_dataset.py:66-120) — the main SimT training input;
+    - ``cityscapes_eval(root, txt, split)``: image-only val list (cityscapesDataSet, :21-63);
+    - ``gta5(root, txt)``: source images+labels with id remap (GTA5DataSet).
+    """
+
+    def __init__(self, samples: List[Sample], crop_wh: Tuple[int, int],
+                 mean_bgr: Sequence[float], mirror: bool = False):
+        self.samples = samples
+        self.crop_wh = crop_wh
+        self.mean_bgr = tuple(mean_bgr)
+        self.mirror = mirror
+
+    @classmethod
+    def cityscapes_pseudo(cls, root: str, list_path: str, crop_wh, mean_bgr, mirror=False):
+        samples = [
+            Sample(
+                image_path=os.path.join(root, img),
+                label_path=os.path.join(root, lab),
+                name=os.path.splitext(os.path.basename(lab))[0],
+            )
+            for img, lab in lists.read_pair_list(list_path)
+        ]
+        return cls(samples, crop_wh, mean_bgr, mirror)
+
+    @classmethod
+    def cityscapes_eval(cls, root: str, list_path: str, crop_wh, mean_bgr, split="val"):
+        samples = [
+            Sample(image_path=os.path.join(root, split, name), label_path=None, name=name)
+            for name in lists.read_name_list(list_path)
+        ]
+        return cls(samples, crop_wh, mean_bgr, mirror=False)
+
+    @classmethod
+    def gta5(cls, root: str, list_path: str, crop_wh, mean_bgr, mirror=False):
+        samples = [
+            Sample(
+                image_path=os.path.join(root, "images", name),
+                label_path=os.path.join(root, "labels", name),
+                name=name,
+                gta5_remap=True,
+            )
+            for name in lists.read_name_list(list_path)
+        ]
+        return cls(samples, crop_wh, mean_bgr, mirror)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
+        s = self.samples[index]
+        image = load_image_bgr(s.image_path, self.crop_wh, self.mean_bgr)
+        label = None
+        if s.label_path is not None:
+            label = load_label(s.label_path, self.crop_wh)
+            if s.gta5_remap:
+                label = remap_gta5_ids(label)
+        if self.mirror and rng is not None and rng.integers(2) == 1:
+            image = image[:, ::-1]
+            if label is not None:
+                label = label[:, ::-1]
+        out = {"image": np.ascontiguousarray(image), "name": s.name}
+        if label is not None:
+            out["label"] = np.ascontiguousarray(label)
+        return out
+
+
+class Loader:
+    """Epoch-free shuffled batch iterator with threaded decode + device prefetch."""
+
+    def __init__(
+        self,
+        dataset: SegDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 1234,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        loop: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.loop = loop
+
+    def _index_stream(self) -> Iterator[int]:
+        rng = np.random.default_rng(self.seed)
+        epoch = 0
+        while True:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(idx)
+            yield from idx.tolist()
+            epoch += 1
+            if not self.loop:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + 1)
+        stream = self._index_stream()
+        stop = threading.Event()
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def submit_batch():
+            idxs, rngs = [], []
+            for _ in range(self.batch_size):
+                try:
+                    idxs.append(next(stream))
+                except StopIteration:
+                    break
+                # Pre-draw augmentation seeds on the main thread for determinism.
+                rngs.append(np.random.default_rng(rng.integers(2**63)))
+            if len(idxs) < self.batch_size and (self.drop_last or not idxs):
+                return None
+            return [pool.submit(self.dataset.get, i, r) for i, r in zip(idxs, rngs)]
+
+        def producer():
+            try:
+                while not stop.is_set():
+                    futures = submit_batch()
+                    if futures is None:
+                        break
+                    q.put(futures)
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                futures = q.get()
+                if futures is None:
+                    break
+                items = [f.result() for f in futures]
+                batch = {"image": np.stack([it["image"] for it in items])}
+                if "label" in items[0]:
+                    batch["label"] = np.stack([it["label"] for it in items])
+                batch["name"] = [it["name"] for it in items]
+                yield batch
+        finally:
+            stop.set()
+            while not q.empty():  # unblock producer
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            pool.shutdown(wait=False)
+
+
+def device_prefetch(iterator: Iterator[Dict], size: int = 2, sharding=None) -> Iterator[Dict]:
+    """Overlap host->device transfer with compute: keep ``size`` batches in flight.
+
+    With ``sharding`` (a jax.sharding.Sharding), batches land directly in their
+    data-parallel placement — the multi-host input path the reference never had.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
+        placed = (
+            {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+            if sharding is not None
+            else {k: jax.device_put(v) for k, v in arrays.items()}
+        )
+        placed.update(rest)
+        return placed
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

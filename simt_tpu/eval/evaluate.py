@@ -1,0 +1,157 @@
+"""Cityscapes validation protocol — the parity target.
+
+Re-implements ``evaluate_simt`` / ``evaluate_warmup`` (tools/evaluate_cityscapes.py:96-225)
+TPU-first:
+
+  - two input scales, 1024x512 and 1280x640 (:103-106);
+  - head-2 logits (known-class slice ``[:, :19]`` in simt mode, :127-133) upsampled to
+    1024x2048 with align-corners bilinear (:108) and summed across scales (simt mode);
+    warmup mode uses the 1024x512 scale only (:196-197 — the reference builds the 640
+    loader but never uses it; reproduced);
+  - argmax + 19x19 confusion accumulation happen **on device** (the reference pulls full
+    2048x1024x19 logit maps to host numpy per image, :128,137-148); only the final 19x19
+    histogram is transferred;
+  - batched inference (the reference is locked to batch 1).
+
+Ground-truth ``*_gtFine_labelIds.png`` files are read host-side and remapped through
+``info.json['label2train']`` exactly like :140-144.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IMG_MEAN_BGR
+from ..data import Loader, SegDataset
+from ..data.lists import load_info
+from ..ops import fast_hist, label_mapping, mean_iou, per_class_iu
+from ..ops.interp import upsample_bilinear_align_corners
+
+EVAL_SCALES = ((1024, 512), (1280, 640))  # (w, h), evaluate_cityscapes.py:103-106
+EVAL_OUT_HW = (1024, 2048)  # :108
+
+
+def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
+                 out_hw: Tuple[int, int] = EVAL_OUT_HW):
+    """Jitted (variables, image, image_640) -> (B, *out_hw) int32 prediction."""
+
+    @jax.jit
+    def predict(variables, image, image_640):
+        _, out2 = model.apply(variables, image, False)
+        logits = upsample_bilinear_align_corners(
+            out2[..., :num_classes].astype(jnp.float32), out_hw
+        )
+        if mode == "simt":
+            _, out2b = model.apply(variables, image_640, False)
+            logits = logits + upsample_bilinear_align_corners(
+                out2b[..., :num_classes].astype(jnp.float32), out_hw
+            )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def hist_update(hist, pred, gt):
+        return hist + fast_hist(gt, pred, num_classes)
+
+    return predict, hist_update
+
+
+def evaluate(
+    model,
+    variables,
+    *,
+    data_root: str,
+    val_list: str,
+    gt_dir: str,
+    mode: str = "simt",
+    batch_size: int = 1,
+    info: Optional[dict] = None,
+    print_fn: Callable[[str], None] = print,
+    save_dir: Optional[str] = None,
+    scales: Tuple[Tuple[int, int], ...] = EVAL_SCALES,
+    out_hw: Tuple[int, int] = EVAL_OUT_HW,
+) -> float:
+    """Run the full protocol; returns mIoU (percent, 2dp) like evaluate_cityscapes.py:162."""
+    info = info or load_info()
+    num_classes = int(info["classes"])
+    names = info["label"]
+    mapping = np.asarray(info["label2train"], np.int64)
+
+    loaders = []
+    for crop_wh in scales:
+        ds = SegDataset.cityscapes_eval(
+            data_root, val_list, crop_wh=crop_wh, mean_bgr=IMG_MEAN_BGR, split="val"
+        )
+        loaders.append(
+            Loader(ds, batch_size, shuffle=False, num_workers=4, drop_last=False,
+                   loop=False)
+        )
+
+    predict, hist_update = make_eval_fn(model, num_classes, mode, out_hw)
+    hist = jnp.zeros((num_classes, num_classes), jnp.int32)
+
+    for batch, batch_640 in zip(iter(loaders[0]), iter(loaders[1])):
+        image = jnp.asarray(batch["image"])
+        image_640 = jnp.asarray(batch_640["image"])
+        pred = predict(variables, image, image_640)
+
+        gts = []
+        for name in batch["name"]:
+            gt_name = name.split("leftImg8bit")[0] + "gtFine_labelIds.png"
+            gt_path = os.path.join(gt_dir, os.path.basename(gt_name))
+            from PIL import Image
+
+            gt = np.asarray(Image.open(gt_path))
+            gts.append(label_mapping(gt, mapping))
+        gt_arr = jnp.asarray(np.stack(gts).astype(np.int32))
+        if gt_arr.shape[1:] != pred.shape[1:]:
+            print_fn(
+                f"Skipping: gt {gt_arr.shape} vs pred {pred.shape} for {batch['name']}"
+            )
+            continue
+        hist = hist_update(hist, pred, gt_arr)
+
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+            for i, name in enumerate(batch["name"]):
+                out_name = os.path.basename(name)
+                save_pred_png(np.asarray(pred[i]), os.path.join(save_dir, out_name))
+
+    hist_np = np.asarray(jax.device_get(hist), np.float64)
+    ious = per_class_iu(hist_np)
+    for i in range(num_classes):
+        print_fn("===>" + names[i] + ":\t" + str(round(ious[i] * 100, 2)))
+    miou = mean_iou(hist_np)
+    print_fn("===> mIoU: " + str(miou))
+    return miou
+
+
+# Cityscapes palette (evaluate_cityscapes.py:40-45).
+PALETTE = [
+    128, 64, 128, 244, 35, 232, 70, 70, 70, 102, 102, 156, 190, 153, 153, 153, 153, 153,
+    250, 170, 30, 220, 220, 0, 107, 142, 35, 152, 251, 152, 70, 130, 180, 220, 20, 60,
+    255, 0, 0, 0, 0, 142, 0, 0, 70, 0, 60, 100, 0, 80, 100, 0, 0, 230, 119, 11, 32,
+    255, 255, 255,
+]
+
+
+def colorize_mask(mask: np.ndarray):
+    """Palette-PNG colorizer (evaluate_cityscapes.py:48-53)."""
+    from PIL import Image
+
+    img = Image.fromarray(mask.astype(np.uint8)).convert("P")
+    img.putpalette(PALETTE + [0] * (768 - len(PALETTE)))
+    return img
+
+
+def save_pred_png(pred: np.ndarray, path: str, color: bool = False) -> None:
+    from PIL import Image
+
+    if color:
+        colorize_mask(pred).save(path)
+    else:
+        Image.fromarray(pred.astype(np.uint8)).save(path)

@@ -150,7 +150,9 @@ class ASPPHead(nn.Module):
                 padding=((d, d), (d, d)),
                 rhs_dilation=(d, d),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            ) + b
+            )
+            # Branch sum + bias in float32 (MXU accumulates bf16 matmuls in f32
+            # internally; the cross-branch reduction shouldn't re-round to bf16).
+            y = y.astype(jnp.float32) + b
             out = y if out is None else out + y
         return out.astype(self.dtype)

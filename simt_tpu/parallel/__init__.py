@@ -1,0 +1,10 @@
+from .mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicate_state,
+    replicated,
+    shard_batch,
+)

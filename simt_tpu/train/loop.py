@@ -1,0 +1,156 @@
+"""Training loop driver: wires config -> models -> data -> jitted step -> eval/ckpt.
+
+Mirrors the reference's main() flow for both stages (tools/trainV1_warmup.py:156-256,
+tools/trainV2_simt.py:232-464): poly-LR'd steps, loss prints every ``log_every``, full val
+evaluation every ``save_pred_every`` with best-mIoU checkpoint keep/delete, early stop at
+``num_steps_stop``. Unlike the reference, checkpoints carry optimizer + step state so runs
+resume (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TrainConfig
+from ..data import Loader, SegDataset, device_prefetch
+from ..models.resnet_multi import deeplab_multi
+from ..utils import MetricWriter, StepTimer, format_simt_line, format_warmup_line
+from . import checkpoint as ckpt_lib
+from .simt import create_simt_state, make_simt_step
+from .warmup import create_warmup_state, make_warmup_step
+
+
+def _dtype(cfg: TrainConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.compute_dtype]
+
+
+def build_models(cfg: TrainConfig):
+    """Student (+ teacher for the simt stage)."""
+    dtype = _dtype(cfg)
+    eff = cfg.model.aspp_effective_branches
+    if cfg.stage == "simt":
+        student = deeplab_multi(
+            cfg.model.num_classes, cfg.model.open_classes, openset=True,
+            dtype=dtype, aspp_effective_branches=eff,
+        )
+        teacher = deeplab_multi(
+            cfg.model.num_classes, dtype=dtype, aspp_effective_branches=eff
+        )
+        return student, teacher
+    return deeplab_multi(cfg.model.num_classes, dtype=dtype, aspp_effective_branches=eff), None
+
+
+def build_loader(cfg: TrainConfig, root: Optional[str] = None,
+                 list_path: Optional[str] = None) -> Iterator[Dict]:
+    ds = SegDataset.cityscapes_pseudo(
+        root or cfg.data.root,
+        list_path or cfg.data.list_path,
+        crop_wh=cfg.data.crop_size,
+        mean_bgr=cfg.data.mean_bgr,
+        mirror=cfg.data.mirror,
+    )
+    loader = Loader(
+        ds,
+        cfg.data.batch_size,
+        shuffle=True,
+        seed=cfg.random_seed,
+        num_workers=cfg.data.num_workers,
+        prefetch=cfg.data.prefetch,
+    )
+    return device_prefetch(iter(loader), size=cfg.data.prefetch)
+
+
+def train(
+    cfg: TrainConfig,
+    *,
+    batch_iter: Optional[Iterator[Dict]] = None,
+    eval_fn: Optional[Callable[[object, Dict], float]] = None,
+    print_fn: Callable[[str], None] = print,
+    csv_path: Optional[str] = None,
+    max_steps: Optional[int] = None,
+) -> Dict:
+    """Run one stage. ``eval_fn(model, variables) -> mIoU`` is injected (the real
+    Cityscapes evaluator or a synthetic one). Returns summary dict."""
+    print_fn("Start: " + time.asctime(time.localtime(time.time())))
+    student, teacher = build_models(cfg)
+    hw = (cfg.data.crop_size[1], cfg.data.crop_size[0])  # (h, w) from (w, h)
+
+    rng = jax.random.PRNGKey(cfg.random_seed)
+    if cfg.stage == "simt":
+        # Both student and teacher start from the warmup checkpoint
+        # (trainV2_simt.py:250-267): key-intersection load.
+        sv, report = ckpt_lib.load_warmstart_variables(student, cfg.restore_from, hw,
+                                                       rng=rng)
+        tv, _ = ckpt_lib.load_warmstart_variables(teacher, cfg.restore_from, hw, rng=rng)
+        if cfg.restore_from:
+            print_fn(f"warm-start: loaded {len(report['loaded'])} tensors from "
+                     f"{cfg.restore_from} ({len(report['missing'])} missing)")
+        state = create_simt_state(sv, tv, cfg, jax.random.fold_in(rng, 1))
+        step_fn = make_simt_step(student, teacher, cfg)
+        fmt = format_simt_line
+    else:
+        sv, report = ckpt_lib.load_warmstart_variables(
+            student, cfg.restore_from, hw, strip_prefix=6, rng=rng
+        )  # k[6:] prefix-strip flavour (trainV1_warmup.py:177)
+        state = create_warmup_state(student, sv, cfg)
+        step_fn = make_warmup_step(student, cfg)
+        fmt = format_warmup_line
+
+    if batch_iter is None:
+        batch_iter = build_loader(cfg)
+
+    writer = MetricWriter(csv_path)
+    timer = StepTimer()
+    best_miou, best_step = 0.0, 0
+    stop_at = min(cfg.num_steps_stop, max_steps or cfg.num_steps_stop)
+    metrics = {}
+
+    for i_iter in range(stop_at):
+        batch = next(batch_iter)
+        batch = {k: v for k, v in batch.items() if k in ("image", "label")}
+        state, metrics = step_fn(state, batch)
+        timer.tick()
+
+        if i_iter % cfg.log_every == 0:
+            jax.block_until_ready(metrics["lr"])
+            print_fn(fmt(i_iter, cfg.num_steps, metrics))
+            writer.write(i_iter, metrics)
+
+        if eval_fn is not None and i_iter % cfg.save_pred_every == 0 and i_iter != 0:
+            now = datetime.datetime.now()
+            print_fn(
+                now.strftime("%Y-%m-%d %H:%M:%S")
+                + "  Begin evaluation on iter {0:8d}/{1:8d}  ".format(i_iter, cfg.num_steps)
+            )
+            eval_vars = {
+                "params": state.model.params,
+                "batch_stats": state.model.batch_stats,
+            }
+            miou = eval_fn(student, eval_vars)
+            print_fn("Finish Evaluation: " + time.asctime(time.localtime(time.time())))
+            if miou > best_miou:
+                if best_step and cfg.snapshot_dir:
+                    ckpt_lib.delete(cfg.snapshot_dir, best_step)
+                print_fn(f"Saving model with mIoU:  {miou}")
+                if cfg.snapshot_dir:
+                    ckpt_lib.save(state, cfg.snapshot_dir, i_iter)
+                best_miou, best_step = miou, i_iter
+
+    if cfg.snapshot_dir:
+        os.makedirs(cfg.snapshot_dir, exist_ok=True)
+        ckpt_lib.save(state, cfg.snapshot_dir, stop_at)
+    writer.close()
+    return {
+        "state": state,
+        "best_miou": best_miou,
+        "best_step": best_step,
+        "steps_per_sec": timer.rate(),
+        "final_metrics": {k: float(v) for k, v in metrics.items()},
+        "student": student,
+    }

@@ -1,0 +1,286 @@
+"""SimT-stage trainer (stage 2): joint segmentation + Noise Transition Matrix training.
+
+Re-implements the reference's core entry point (tools/trainV2_simt.py:307-436) as ONE
+jitted ``train_step`` containing everything the reference does per iteration:
+
+  - the 10-step inner Adam loop optimising W1/W2 against MSE(W @ T, 0) (:327-339), as a
+    ``lax.fori_loop`` (T is recomputed outside — the NTM params do not change within the
+    inner loop, so the reference's ``retain_graph=True`` recomputation is value-identical);
+  - frozen-teacher pseudo-labelling with the two-threshold scheme: argmax where
+    max-prob > 0.8, class-C "unknown" where < 0.2, else 255-ignore (:351-362) — without
+    the reference's GPU->CPU->GPU round trip at :362;
+  - anchor loss: per-channel most-confident pixel's teacher posterior as a row target for
+    T over the classes present in the prediction (:374-384);
+  - class-posterior constraint: unknown-marked pixels take the student's own open-set
+    argmax as label (:387-395);
+  - placeholder loss on both heads (:398-399 -> :202-230);
+  - noisy posterior loss log(softmax(pred) @ T) vs the on-disk pseudo label (:402-409);
+  - convex (-MSE(W@T,0)) and guarded volume losses (:412-421);
+  - composite loss (:423-424) and the three optimizer families: model SGD (1x/10x poly),
+    T1/T2 Adam (W1/W2 were stepped in the inner loop; their grads from the main loss are
+    discarded, exactly like the reference's zero_grad at the top of the next iteration).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import ntm as ntm_lib
+from ..ops import (
+    cross_entropy_2d,
+    mse_sum,
+    nll_from_probs_2d,
+    placeholder_loss,
+    upsample_bilinear_align_corners,
+    volume_loss,
+)
+from ..ops.schedules import poly_lr
+from . import state as state_lib
+
+
+def create_simt_state(model_vars, teacher_vars, cfg, rng) -> state_lib.SimTState:
+    """Initialise the SimT train state (trainV2_simt.py:250-280)."""
+    init_model, _ = state_lib.make_model_tx(
+        cfg.optim.momentum,
+        cfg.optim.weight_decay,
+        warmup=False,
+        aspp_effective_branches=cfg.model.aspp_effective_branches,
+    )
+    adam_init, _ = state_lib.make_adam_tx()
+    c, o = cfg.model.num_classes, cfg.model.open_classes
+    k1, k2 = jax.random.split(rng)
+    t1 = ntm_lib.ntm_init(k1, c, o)
+    t2 = ntm_lib.ntm_init(k2, c, o)
+    w1 = ntm_lib.w_init(c, o)
+    w2 = ntm_lib.w_init(c, o)
+    return state_lib.SimTState(
+        model=state_lib.ModelState(
+            params=model_vars["params"],
+            batch_stats=model_vars["batch_stats"],
+            opt_state=init_model(model_vars["params"]),
+        ),
+        teacher_params=teacher_vars["params"],
+        teacher_batch_stats=teacher_vars["batch_stats"],
+        t1=state_lib.NTMState(t1, adam_init(t1)),
+        t2=state_lib.NTMState(t2, adam_init(t2)),
+        w1=state_lib.NTMState(w1, adam_init(w1)),
+        w2=state_lib.NTMState(w2, adam_init(w2)),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _guarded_volume(t: jax.Array) -> jax.Array:
+    """Volume loss with the reference's non-finite->0 guard (trainV2_simt.py:420-421),
+    implemented with the double-where pattern so the backward pass through a singular
+    Gram matrix cannot poison gradients with NaN."""
+    raw = volume_loss(jax.lax.stop_gradient(t))
+    ok = jnp.isfinite(raw)
+    # Safe substitute: the identity-prior matrix (full rank by construction).
+    safe_sub = jnp.zeros_like(t).at[: t.shape[1], :].set(jnp.eye(t.shape[1]))
+    t_safe = jnp.where(ok, t, safe_sub)
+    return jnp.where(ok, volume_loss(t_safe), 0.0)
+
+
+def _anchor_loss(pred_flat: jax.Array, t: jax.Array, teacher_flat: jax.Array) -> jax.Array:
+    """Anchor loss for one head (trainV2_simt.py:375-384).
+
+    pred_flat: (P, C+O) student logits (already detached by the caller);
+    t: (C+O, C) transition matrix; teacher_flat: (P, C) upsampled teacher posterior.
+    """
+    total = pred_flat.shape[1]
+    anchor_idx = jnp.argmax(pred_flat, axis=0)  # most-confident pixel per channel, (C+O,)
+    anchors = teacher_flat[anchor_idx]  # (C+O, C)
+    per_pixel_arg = jnp.argmax(pred_flat, axis=1)  # (P,)
+    exist = jnp.zeros((total,), jnp.float32).at[per_pixel_arg].set(1.0)
+    return jnp.sum(exist[:, None] * (t - anchors.astype(jnp.float32)) ** 2)
+
+
+def make_simt_step(model, teacher_model, cfg):
+    """Build the jitted SimT train step: (state, batch) -> (state, metrics).
+
+    ``model`` is the open-set student (C+O channels); ``teacher_model`` the closed-set
+    warmup network (C channels), applied in eval mode with constant weights — the
+    reference re-loads the same state_dict into it every iteration (trainV2_simt.py:352),
+    which is a no-op, so the teacher is simply state that never updates.
+    """
+    _, model_update = state_lib.make_model_tx(
+        cfg.optim.momentum,
+        cfg.optim.weight_decay,
+        warmup=False,
+        aspp_effective_branches=cfg.model.aspp_effective_branches,
+    )
+    _, adam_update = state_lib.make_adam_tx()
+
+    c, o = cfg.model.num_classes, cfg.model.open_classes
+    total = c + o
+    s = cfg.simt
+    class_dist = jnp.asarray(ntm_lib.load_class_dist(s.class_dist))
+    ignore = cfg.ignore_label
+
+    def ntm_fwd(p):
+        return ntm_lib.ntm_forward(p, class_dist, c, o)
+
+    @jax.jit
+    def train_step(
+        st: state_lib.SimTState, batch: Dict[str, jax.Array]
+    ) -> Tuple[state_lib.SimTState, Dict[str, jax.Array]]:
+        image, label = batch["image"], batch["label"]
+        b, h, w = label.shape
+        hw = (h, w)
+        lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)
+        lr_t = poly_lr(
+            cfg.optim.learning_rate_t, st.step, cfg.optim.num_steps, cfg.optim.power
+        )
+
+        # ------- inner loop: optimise W1/W2 against the current T1/T2 (:327-339) -------
+        t1_fixed = ntm_fwd(st.t1.param)
+        t2_fixed = ntm_fwd(st.t2.param)
+
+        def w_objective(w1p, w2p):
+            w1m = ntm_lib.w_forward(w1p)
+            w2m = ntm_lib.w_forward(w2p)
+            return mse_sum(w1m @ t1_fixed, jnp.zeros((total, c))) + mse_sum(
+                w2m @ t2_fixed, jnp.zeros((total, c))
+            )
+
+        def w_body(_, carry):
+            w1, w2 = carry
+            g1, g2 = jax.grad(w_objective, argnums=(0, 1))(w1.param, w2.param)
+            u1, s1 = adam_update(g1, w1.opt_state, w1.param, lr_t)
+            u2, s2 = adam_update(g2, w2.opt_state, w2.param, lr_t)
+            return (
+                state_lib.NTMState(optax.apply_updates(w1.param, u1), s1),
+                state_lib.NTMState(optax.apply_updates(w2.param, u2), s2),
+            )
+
+        w1, w2 = jax.lax.fori_loop(0, s.inner_w_steps, w_body, (st.w1, st.w2))
+        w1_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w1.param))
+        w2_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w2.param))
+
+        # ------- teacher pseudo-labels (:351-362), fully on device -------
+        _, teach2 = teacher_model.apply(
+            {"params": st.teacher_params, "batch_stats": st.teacher_batch_stats},
+            image,
+            False,
+        )
+        teacher_prob = upsample_bilinear_align_corners(
+            jax.nn.softmax(teach2.astype(jnp.float32), axis=-1), hw
+        )  # (B,H,W,C): softmax at stride 8, then upsample — reference order (:354)
+        tmax = jnp.max(teacher_prob, axis=-1)
+        targ = jnp.argmax(teacher_prob, axis=-1)
+        conf_label = jnp.where(tmax > s.threshold_high, targ, ignore)
+        conf_label = jnp.where(tmax < s.threshold_low, c, conf_label)  # class-C unknown
+        teacher_flat = teacher_prob.reshape(-1, c)
+
+        # ------- student forward + composite loss (:370-424) -------
+        def loss_fn(params, t1p, t2p):
+            t1m = ntm_fwd(t1p)
+            t2m = ntm_fwd(t2p)
+            (x1, x2), mutated = model.apply(
+                {"params": params, "batch_stats": st.model.batch_stats},
+                image,
+                True,
+                mutable=["batch_stats"],
+            )
+            pred1 = upsample_bilinear_align_corners(x1, hw)
+            pred2 = upsample_bilinear_align_corners(x2, hw)
+
+            # Anchor loss (:374-384) — student logits detached; grads flow to T only.
+            anchor = _anchor_loss(
+                jax.lax.stop_gradient(pred1).reshape(-1, total), t1m, teacher_flat
+            ) + _anchor_loss(
+                jax.lax.stop_gradient(pred2).reshape(-1, total), t2m, teacher_flat
+            )
+
+            # Class-posterior constraint (:387-395): unknown pixels take the student's
+            # own open-set argmax (if it is an open class) as the label.
+            pseudo = jnp.argmax(jax.lax.stop_gradient(pred2), axis=-1)
+            unk = conf_label == c
+            pseudo1 = jnp.where(unk, pseudo, 0)
+            pseudo1 = jnp.where(pseudo1 >= c, pseudo1, ignore)
+            refined = jnp.where(unk, pseudo1, conf_label)
+            loss_p1 = cross_entropy_2d(pred1, refined, ignore_label=ignore)
+            loss_p2 = cross_entropy_2d(pred2, refined, ignore_label=ignore)
+
+            # Placeholder loss (:398-399).
+            place = s.lambda_seg * placeholder_loss(
+                pred1,
+                num_classes=c,
+                open_classes=o,
+                lambda_place=s.lambda_place,
+                threshold=s.threshold_high,
+                ignore_label=ignore,
+            ) + placeholder_loss(
+                pred2,
+                num_classes=c,
+                open_classes=o,
+                lambda_place=s.lambda_place,
+                threshold=s.threshold_high,
+                ignore_label=ignore,
+            )
+
+            # Noisy posterior loss (:402-409): softmax(pred) @ T, log-NLL vs pseudo label.
+            prob1 = jax.nn.softmax(pred1.astype(jnp.float32), axis=-1).reshape(-1, total)
+            noisy1 = (prob1 @ t1m).reshape(b, h, w, c)
+            prob2 = jax.nn.softmax(pred2.astype(jnp.float32), axis=-1).reshape(-1, total)
+            noisy2 = (prob2 @ t2m).reshape(b, h, w, c)
+            loss_y1 = nll_from_probs_2d(noisy1, label, ignore_label=ignore)
+            loss_y2 = nll_from_probs_2d(noisy2, label, ignore_label=ignore)
+
+            # Convex loss (:412-415): push T away from the other rows' convex hull.
+            convex = -(
+                mse_sum(w1_mat @ t1m, jnp.zeros((total, c)))
+                + mse_sum(w2_mat @ t2m, jnp.zeros((total, c)))
+            )
+
+            # Volume loss (:417-421), guarded.
+            volume = _guarded_volume(t1m) + _guarded_volume(t2m)
+
+            loss_target = loss_p2 + loss_y2 + s.lambda_seg * loss_p1 + s.lambda_seg * loss_y1
+            loss = (
+                place
+                + loss_target
+                + s.lambda_convex * convex
+                + s.lambda_volume * volume
+                + s.lambda_anchor * anchor
+            )
+            metrics = {
+                "loss": loss,
+                "loss_seg_p": loss_p1 + loss_p2,
+                "loss_seg_y": loss_y1 + loss_y2,
+                "convex": convex,
+                "volume": volume,
+                "anchor": anchor,
+                "place": place,
+            }
+            return loss, (metrics, mutated["batch_stats"])
+
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+        (g_model, g_t1, g_t2), (metrics, new_stats) = grads(
+            st.model.params, st.t1.param, st.t2.param
+        )
+
+        upd, opt_state = model_update(g_model, st.model.opt_state, st.model.params, lr)
+        params = optax.apply_updates(st.model.params, upd)
+        u1, s1 = adam_update(g_t1, st.t1.opt_state, st.t1.param, lr_t)
+        u2, s2 = adam_update(g_t2, st.t2.opt_state, st.t2.param, lr_t)
+
+        new_state = state_lib.SimTState(
+            model=state_lib.ModelState(params=params, batch_stats=new_stats,
+                                       opt_state=opt_state),
+            teacher_params=st.teacher_params,
+            teacher_batch_stats=st.teacher_batch_stats,
+            t1=state_lib.NTMState(optax.apply_updates(st.t1.param, u1), s1),
+            t2=state_lib.NTMState(optax.apply_updates(st.t2.param, u2), s2),
+            w1=w1,
+            w2=w2,
+            step=st.step + 1,
+        )
+        metrics["lr"] = lr
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,173 @@
+"""Train state containers and the reference's optimizer families, in optax.
+
+Reference optimizer structure (SURVEY.md §3.2):
+  - model: SGD(momentum .9, wd 5e-4) over two poly-decayed LR groups — backbone at 1x,
+    classifier heads at 10x (model/deeplab_multi.py:235-237, trainV2_simt.py:296-297).
+    In warmup the 1x group additionally includes conv1/bn1/layer1/layer2
+    (deeplab_multi.py:203-208); in the SimT stage those are effectively frozen.
+    BN affine params are requires_grad=False in the reference, and unused ASPP branches
+    (the 2-branch quirk) receive no gradient, so both are 'frozen' here.
+  - NTM T1/T2 and W1/W2: four Adam(lr_T, wd 0) optimizers (trainV2_simt.py:270-280).
+
+The torch-vs-optax matching notes:
+  - torch SGD: d = g + wd*p; buf = m*buf + d; p -= lr*buf  ==  optax
+    chain(add_decayed_weights(wd), trace(m)) then scale by -lr.
+  - torch Adam(b1=.9, b2=.999, eps=1e-8) == optax.scale_by_adam(eps_root=0) then -lr.
+  - The poly LR uses the *outer* iteration (trainV2_simt.py:315,321-324) even though W's
+    Adam steps 10x per iteration — so the LR is injected explicitly per step rather than
+    derived from optax's internal count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+# ---------------------------------------------------------------------------
+# Parameter partitioning
+# ---------------------------------------------------------------------------
+
+LABEL_1X = "backbone_1x"
+LABEL_10X = "head_10x"
+LABEL_FROZEN = "frozen"
+
+_HEAD_PREFIXES = ("layer5", "layer6", "layer5_1", "layer6_1")
+_WARMUP_ONLY_PREFIXES = ("conv1", "bn1", "layer1_", "layer2_")
+
+
+def param_label(path: Tuple[str, ...], *, warmup: bool, aspp_effective_branches: int = 2) -> str:
+    """LR-group label for one parameter path (keys into the flax params tree)."""
+    top = path[0]
+    leaf = path[-1]
+    # BN affine params are frozen everywhere (requires_grad=False in the reference).
+    if leaf in ("scale",) or (leaf == "bias" and any(p.startswith("bn") or p.endswith("_bn") for p in path[:-1])):
+        return LABEL_FROZEN
+    if top in _HEAD_PREFIXES or any(top == p for p in _HEAD_PREFIXES):
+        # Unused ASPP branches never receive grads in torch -> frozen.
+        if leaf.startswith("branch"):
+            branch = int(leaf.split("_")[0][len("branch"):])
+            if branch >= aspp_effective_branches:
+                return LABEL_FROZEN
+        return LABEL_10X
+    if any(top.startswith(p) for p in _WARMUP_ONLY_PREFIXES):
+        return LABEL_1X if warmup else LABEL_FROZEN
+    return LABEL_1X  # layer3 / layer4 backbone
+
+
+def partition_params(params, *, warmup: bool, aspp_effective_branches: int = 2):
+    """Pytree of LR-group labels matching ``params``' structure."""
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {
+        k: param_label(k, warmup=warmup, aspp_effective_branches=aspp_effective_branches)
+        for k in flat
+    }
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer directions (LR applied explicitly per step from the outer iteration)
+# ---------------------------------------------------------------------------
+
+
+def sgd_direction(momentum: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch-SGD direction (before the -lr scale)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+    )
+
+
+def adam_direction() -> optax.GradientTransformation:
+    """torch-Adam direction (before the -lr scale)."""
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def make_model_tx(
+    momentum: float, weight_decay: float, *, warmup: bool, aspp_effective_branches: int = 2
+) -> Callable:
+    """Returns (init_fn, update_fn) for the partitioned model optimizer.
+
+    ``update_fn(grads, opt_state, params, lr)`` applies the 1x/10x/frozen split with the
+    given base LR (poly-decayed by the caller from the outer step).
+    """
+    direction = sgd_direction(momentum, weight_decay)
+
+    def init(params):
+        # One shared direction state over the full tree; frozen entries are masked in
+        # update (their trace stays zero because their grads are zeroed first).
+        return direction.init(params)
+
+    def update(grads, dir_state, params, lr):
+        # Labels derive from the pytree *structure* (static at trace time), so they are
+        # recomputed here rather than stored in the (jitted) optimizer state.
+        labels = partition_params(
+            params, warmup=warmup, aspp_effective_branches=aspp_effective_branches
+        )
+        mult = jax.tree.map(
+            lambda l: {LABEL_1X: 1.0, LABEL_10X: 10.0, LABEL_FROZEN: 0.0}[l], labels
+        )
+        # Zero grads of frozen params BEFORE wd/momentum so they accumulate nothing.
+        grads = jax.tree.map(lambda g, m: g * (m > 0), grads, mult)
+        # add_decayed_weights must also skip frozen params: mask params the same way.
+        masked_params = jax.tree.map(lambda p, m: p * (m > 0), params, mult)
+        updates, dir_state = direction.update(grads, dir_state, masked_params)
+        updates = jax.tree.map(lambda u, m: -lr * m * u, updates, mult)
+        return updates, dir_state
+
+    return init, update
+
+
+def make_adam_tx() -> Tuple[Callable, Callable]:
+    """(init, update) for a single-tensor Adam with explicit LR."""
+    direction = adam_direction()
+
+    def init(param):
+        return direction.init(param)
+
+    def update(grad, state, param, lr):
+        upd, state = direction.update(grad, state, param)
+        return jax.tree.map(lambda u: -lr * u, upd), state
+
+    return init, update
+
+
+# ---------------------------------------------------------------------------
+# State containers
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class ModelState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@flax.struct.dataclass
+class WarmupState:
+    model: ModelState
+    step: jnp.ndarray  # scalar int32
+
+
+@flax.struct.dataclass
+class NTMState:
+    """One NTM/W parameter + its Adam state."""
+
+    param: jnp.ndarray
+    opt_state: Any
+
+
+@flax.struct.dataclass
+class SimTState:
+    model: ModelState
+    teacher_params: Any  # frozen warmup weights (trainV2_simt.py:260-267)
+    teacher_batch_stats: Any
+    t1: NTMState
+    t2: NTMState
+    w1: NTMState
+    w2: NTMState
+    step: jnp.ndarray

@@ -1,0 +1,86 @@
+"""Warmup-stage trainer (stage 1): plain CE on pseudo-labels.
+
+Reference: tools/trainV1_warmup.py:204-232. One jitted ``train_step`` contains the whole
+per-iteration computation: forward (both heads), align-corners upsample to the input size,
+masked CE per head, ``loss = seg2 + lambda_seg * seg1`` (:222-224), SGD with poly LR and
+the warmup 1x/10x split.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import cross_entropy_2d, upsample_bilinear_align_corners
+from ..ops.schedules import poly_lr
+from . import state as state_lib
+
+
+def create_warmup_state(model, variables, cfg) -> state_lib.WarmupState:
+    init_fn, _ = state_lib.make_model_tx(
+        cfg.optim.momentum,
+        cfg.optim.weight_decay,
+        warmup=True,
+        aspp_effective_branches=cfg.model.aspp_effective_branches,
+    )
+    return state_lib.WarmupState(
+        model=state_lib.ModelState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=init_fn(variables["params"]),
+        ),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_warmup_step(model, cfg):
+    """Build the jitted warmup train step: (state, batch) -> (state, metrics)."""
+    _, update_fn = state_lib.make_model_tx(
+        cfg.optim.momentum,
+        cfg.optim.weight_decay,
+        warmup=True,
+        aspp_effective_branches=cfg.model.aspp_effective_branches,
+    )
+    lambda_seg = cfg.simt.lambda_seg
+    ignore = cfg.ignore_label
+
+    @jax.jit
+    def train_step(
+        st: state_lib.WarmupState, batch: Dict[str, jax.Array]
+    ) -> Tuple[state_lib.WarmupState, Dict[str, jax.Array]]:
+        image, label = batch["image"], batch["label"]
+        hw = image.shape[1:3]
+
+        def loss_fn(params):
+            (x1, x2), mutated = model.apply(
+                {"params": params, "batch_stats": st.model.batch_stats},
+                image,
+                True,
+                mutable=["batch_stats"],
+            )
+            p1 = upsample_bilinear_align_corners(x1, hw)
+            p2 = upsample_bilinear_align_corners(x2, hw)
+            l1 = cross_entropy_2d(p1, label, ignore_label=ignore)
+            l2 = cross_entropy_2d(p2, label, ignore_label=ignore)
+            return l2 + lambda_seg * l1, (l1, l2, mutated["batch_stats"])
+
+        grads, (l1, l2, new_stats) = jax.grad(loss_fn, has_aux=True)(st.model.params)
+        # Data-parallel gradient sync happens automatically under pjit sharding; no
+        # explicit collective needed here.
+        lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)
+        updates, opt_state = update_fn(grads, st.model.opt_state, st.model.params, lr)
+        params = optax.apply_updates(st.model.params, updates)
+        new_state = state_lib.WarmupState(
+            model=state_lib.ModelState(
+                params=params, batch_stats=new_stats, opt_state=opt_state
+            ),
+            step=st.step + 1,
+        )
+        metrics = {"loss_seg1": l1, "loss_seg2": l2, "lr": lr}
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,67 @@
+"""Multi-device sharding tests on the 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simt_tpu.parallel import batch_sharding, make_mesh, replicate_state, shard_batch
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(spatial=2)
+    assert mesh.devices.shape == (4, 2)
+    mesh = make_mesh(data=2, spatial=4)
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_sharded_forward_matches_single_device(tiny_setup=None):
+    """DP+spatial sharded forward must equal the unsharded result (GSPMD halo check)."""
+    from simt_tpu.models.resnet_multi import ResNetMulti
+
+    model = ResNetMulti(num_classes=7, layers=(1, 1, 1, 1), dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, False)[1])
+    want = np.asarray(fwd(variables, x))
+
+    mesh = make_mesh(data=2, spatial=4)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    vs = replicate_state(variables, mesh)
+    got = np.asarray(fwd(vs, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_simt_train_step(tmp_path):
+    """The FULL SimT train step under a (2,4) mesh — compiles, runs, stays finite,
+    and matches the single-device step numerically."""
+    import tests.test_train as tt
+
+    cfg = tt.tiny_cfg(tmp_path, "simt")
+    student = tt.tiny_model(True)
+    teacher = tt.tiny_model(False)
+    from simt_tpu.train import create_simt_state, make_simt_step
+
+    sv = student.init(jax.random.PRNGKey(0), jnp.zeros((1, *tt.HW, 3)), False)
+    tv = teacher.init(jax.random.PRNGKey(1), jnp.zeros((1, *tt.HW, 3)), False)
+    state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
+    step = make_simt_step(student, teacher, cfg)
+
+    from simt_tpu.data import synthetic
+
+    raw = synthetic.synthetic_batch(batch_size=2, hw=tt.HW, num_classes=tt.C, seed=0)
+    batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
+
+    _, m_single = step(state, batch)
+
+    mesh = make_mesh(data=2, spatial=4)
+    st_sharded = replicate_state(state, mesh)
+    batch_sharded = shard_batch(batch, mesh)
+    new_state, m_sharded = step(st_sharded, batch_sharded)
+
+    for k in ["loss", "loss_seg_p", "volume", "anchor"]:
+        a, b = float(m_single[k]), float(m_sharded[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (k, a, b)
+    assert int(new_state.step) == 1

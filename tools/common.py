@@ -1,0 +1,143 @@
+"""Shared CLI plumbing for the tools (replaces the reference's per-tool duplicated
+argparse blocks and the _init_paths sys.path hack — SURVEY.md §1 launch/bootstrap rows)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simt_tpu import config as config_lib  # noqa: E402
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--preset", type=str, default=None,
+                        help="named preset: warmup_bapa, simt_bapa_lr25, simt_bapa_lr6, simt_sfda")
+    parser.add_argument("--data-dir-target", type=str, default="",
+                        help="Cityscapes root (images resolved against it)")
+    parser.add_argument("--data-list-target", type=str, default=None,
+                        help=".lst file with image\\tpseudo-label rows")
+    parser.add_argument("--gt-dir", type=str, default=None,
+                        help="directory of *_gtFine_labelIds.png val ground truth")
+    parser.add_argument("--val-list", type=str, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--input-size-target", type=str, default=None,
+                        help="'W,H' crop size (reference format, e.g. '1024,512')")
+    parser.add_argument("--learning-rate", type=float, default=None)
+    parser.add_argument("--learning-rate-T", type=float, default=None)
+    parser.add_argument("--num-classes", type=int, default=None)
+    parser.add_argument("--open-classes", type=int, default=None)
+    parser.add_argument("--num-steps", type=int, default=None)
+    parser.add_argument("--num-steps-stop", type=int, default=None)
+    parser.add_argument("--save-pred-every", type=int, default=None)
+    parser.add_argument("--random-seed", type=int, default=None)
+    parser.add_argument("--random-mirror", action="store_true")
+    parser.add_argument("--restore-from", type=str, default=None,
+                        help=".pth/.npz warm-start checkpoint")
+    parser.add_argument("--snapshot-dir", type=str, default=None)
+    parser.add_argument("--Threshold-high", type=float, default=None)
+    parser.add_argument("--Threshold-low", type=float, default=None)
+    parser.add_argument("--lambda-Place", type=float, default=None)
+    parser.add_argument("--lambda-Convex", type=float, default=None)
+    parser.add_argument("--lambda-Volume", type=float, default=None)
+    parser.add_argument("--lambda-Anchor", type=float, default=None)
+    parser.add_argument("--class-dist", type=str, default=None,
+                        help="prior name (bapa/sfdaseg/...) or .npy path")
+    parser.add_argument("--compute-dtype", type=str, default=None,
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--synthetic", action="store_true",
+                        help="run hermetically on a generated tiny dataset")
+    parser.add_argument("--csv", type=str, default=None, help="metric CSV output path")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a JAX platform (e.g. 'cpu'); default: ambient (TPU)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace here (SURVEY.md §5 tracing row)")
+
+
+def apply_platform(args) -> None:
+    """Must run before any JAX device use; the session env pins the axon TPU platform,
+    so this goes through jax.config rather than JAX_PLATFORMS."""
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def build_config(args, stage: str) -> config_lib.TrainConfig:
+    cfg = config_lib.preset(args.preset) if args.preset else config_lib.TrainConfig()
+    cfg = cfg.replace(stage=stage)
+
+    optim = cfg.optim
+    if args.learning_rate is not None:
+        optim = dataclasses.replace(optim, learning_rate=args.learning_rate)
+    if args.learning_rate_T is not None:
+        optim = dataclasses.replace(optim, learning_rate_t=args.learning_rate_T)
+    if args.num_steps is not None:
+        optim = dataclasses.replace(optim, num_steps=args.num_steps)
+
+    simt = cfg.simt
+    for cli, field in [
+        ("Threshold_high", "threshold_high"), ("Threshold_low", "threshold_low"),
+        ("lambda_Place", "lambda_place"), ("lambda_Convex", "lambda_convex"),
+        ("lambda_Volume", "lambda_volume"), ("lambda_Anchor", "lambda_anchor"),
+        ("class_dist", "class_dist"),
+    ]:
+        v = getattr(args, cli)
+        if v is not None:
+            simt = dataclasses.replace(simt, **{field: v})
+
+    model = cfg.model
+    if args.num_classes is not None:
+        model = dataclasses.replace(model, num_classes=args.num_classes)
+    if args.open_classes is not None:
+        model = dataclasses.replace(model, open_classes=args.open_classes)
+    if args.compute_dtype is not None:
+        model = dataclasses.replace(model, compute_dtype=args.compute_dtype)
+    model = dataclasses.replace(model, openset=stage == "simt")
+
+    data = cfg.data
+    if args.data_dir_target:
+        data = dataclasses.replace(data, root=args.data_dir_target)
+    if args.data_list_target is not None:
+        data = dataclasses.replace(data, list_path=args.data_list_target)
+    if args.batch_size is not None:
+        data = dataclasses.replace(data, batch_size=args.batch_size)
+    if args.input_size_target is not None:
+        w, h = map(int, args.input_size_target.split(","))
+        data = dataclasses.replace(data, crop_size=(w, h))
+    if args.random_mirror:
+        data = dataclasses.replace(data, mirror=True)
+
+    kw = {}
+    if args.num_steps is not None:
+        kw["num_steps"] = args.num_steps
+    if args.num_steps_stop is not None:
+        kw["num_steps_stop"] = args.num_steps_stop
+    if args.save_pred_every is not None:
+        kw["save_pred_every"] = args.save_pred_every
+    if args.random_seed is not None:
+        kw["random_seed"] = args.random_seed
+    if args.restore_from is not None:
+        kw["restore_from"] = args.restore_from
+    if args.snapshot_dir is not None:
+        kw["snapshot_dir"] = args.snapshot_dir
+
+    return cfg.replace(model=model, data=data, optim=optim, simt=simt, **kw)
+
+
+def setup_synthetic(cfg, tmp_root: str, image_wh=(128, 64)):
+    """Generate a fixture and point the config at it. Returns (cfg, paths)."""
+    import dataclasses as dc
+
+    from simt_tpu.data import synthetic
+
+    paths = synthetic.make_cityscapes_fixture(tmp_root, n_train=8, n_val=2,
+                                              image_wh=image_wh)
+    data = dc.replace(
+        cfg.data, root=paths["root"], list_path=paths["pseudo_lst"],
+        crop_size=image_wh, batch_size=max(1, cfg.data.batch_size),
+    )
+    return cfg.replace(data=data, snapshot_dir="", restore_from=""), paths
