@@ -50,10 +50,17 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Optional[Tuple[str, bool]]:
     """
     collection, *rest = path
     leaf = rest[-1]
+    # nn.Sequential child modules: layer1_0 -> layer1.0, features_29 -> features.29.
+    # NOTE: layer5_1/layer6_1 are real torch module names (open-set ASPP heads,
+    # deeplab_multi.py:141-142) and must NOT be split.
+    _SEQ_BASES = ("layer1", "layer2", "layer3", "layer4", "features")
     mods = []
     for name in rest[:-1]:
-        if name.startswith("layer") and "_" in name and name.split("_")[-1].isdigit():
-            # layer1_0 -> layer1.0  (torch nn.Sequential child index)
+        if (
+            "_" in name
+            and name.split("_")[-1].isdigit()
+            and name.rsplit("_", 1)[0] in _SEQ_BASES
+        ):
             base, idx = name.rsplit("_", 1)
             mods.extend([base, idx])
         elif name == "downsample_conv":

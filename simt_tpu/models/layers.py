@@ -110,6 +110,40 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+def res_stage(
+    x: jax.Array,
+    idx: int,
+    planes: int,
+    blocks: int,
+    *,
+    stride: int,
+    dilation: int,
+    train: bool,
+    dtype: Any,
+) -> jax.Array:
+    """One ResNet stage (``_make_layer``, deeplab_multi.py:152-167), named ``layer{idx}_{i}``.
+
+    Downsample on the first block iff stride != 1, channel change, or dilation in {2, 4}
+    (the reference's dilated layers always get a projection, :154).
+    Must be called from inside a flax module's ``__call__`` (submodules bind to it).
+    """
+    in_ch = x.shape[-1]
+    has_ds = stride != 1 or in_ch != planes * 4 or dilation in (2, 4)
+    x = Bottleneck(
+        planes,
+        stride=stride,
+        dilation=dilation,
+        has_downsample=has_ds,
+        dtype=dtype,
+        name=f"layer{idx}_0",
+    )(x, train)
+    for i in range(1, blocks):
+        x = Bottleneck(planes, dilation=dilation, dtype=dtype, name=f"layer{idx}_{i}")(
+            x, train
+        )
+    return x
+
+
 class ASPPHead(nn.Module):
     """ASPP classifier (``Classifier_Module``, model/deeplab_multi.py:104-119).
 

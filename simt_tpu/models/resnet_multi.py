@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ASPPHead, Bottleneck, batch_norm, conv, max_pool_ceil
+from .layers import ASPPHead, batch_norm, conv, max_pool_ceil, res_stage
 
 
 class ResNetMulti(nn.Module):
@@ -35,28 +35,6 @@ class ResNetMulti(nn.Module):
     aspp_effective_branches: int = 2
     dtype: Any = jnp.bfloat16
 
-    def _res_layer(
-        self, x: jax.Array, idx: int, planes: int, blocks: int, stride: int, dilation: int,
-        train: bool,
-    ) -> jax.Array:
-        # Downsample on the first block iff stride != 1, channel change, or dilation in
-        # {2, 4} (deeplab_multi.py:152-158 — dilated layers always get a projection).
-        in_ch = x.shape[-1]
-        has_ds = stride != 1 or in_ch != planes * 4 or dilation in (2, 4)
-        x = Bottleneck(
-            planes,
-            stride=stride,
-            dilation=dilation,
-            has_downsample=has_ds,
-            dtype=self.dtype,
-            name=f"layer{idx}_0",
-        )(x, train)
-        for i in range(1, blocks):
-            x = Bottleneck(
-                planes, dilation=dilation, dtype=self.dtype, name=f"layer{idx}_{i}"
-            )(x, train)
-        return x
-
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         """x: (B, H, W, 3) mean-subtracted BGR. Returns stride-8 logit maps (f32)."""
@@ -65,9 +43,12 @@ class ResNetMulti(nn.Module):
         x = batch_norm(name="bn1", dtype=self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         x = max_pool_ceil(x, window=3, stride=2, padding=1)
-        x = self._res_layer(x, 1, 64, self.layers[0], stride=1, dilation=1, train=train)
-        x = self._res_layer(x, 2, 128, self.layers[1], stride=2, dilation=1, train=train)
-        x = self._res_layer(x, 3, 256, self.layers[2], stride=1, dilation=2, train=train)
+        x = res_stage(x, 1, 64, self.layers[0], stride=1, dilation=1, train=train,
+                      dtype=self.dtype)
+        x = res_stage(x, 2, 128, self.layers[1], stride=2, dilation=1, train=train,
+                      dtype=self.dtype)
+        x = res_stage(x, 3, 256, self.layers[2], stride=1, dilation=2, train=train,
+                      dtype=self.dtype)
 
         x1 = ASPPHead(
             self.num_classes,
@@ -84,7 +65,8 @@ class ResNetMulti(nn.Module):
             )(x)
             x1 = jnp.concatenate([x1, x1_1], axis=-1)
 
-        x = self._res_layer(x, 4, 512, self.layers[3], stride=1, dilation=4, train=train)
+        x = res_stage(x, 4, 512, self.layers[3], stride=1, dilation=4, train=train,
+                      dtype=self.dtype)
         x2 = ASPPHead(
             self.num_classes,
             effective_branches=self.aspp_effective_branches,

@@ -1,0 +1,142 @@
+"""Checkpoint import/export tests: torch state_dict <-> flax variables round trip and
+the reference's three partial-load flavours (SURVEY.md §5 checkpoint row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simt_tpu.models import deeplab_multi
+from simt_tpu.models.import_torch import (
+    export_state_dict,
+    flax_path_to_torch_key,
+    import_state_dict,
+)
+
+
+def _small_model_vars(openset=True, seed=0):
+    from simt_tpu.models.resnet_multi import ResNetMulti
+
+    model = ResNetMulti(num_classes=5, open_classes=3, openset=openset,
+                        layers=(1, 1, 1, 1), dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    return model, model.init(jax.random.PRNGKey(seed), x, False)
+
+
+def test_key_mapping_examples():
+    cases = {
+        ("params", "conv1", "kernel"): ("conv1.weight", True),
+        ("params", "bn1", "scale"): ("bn1.weight", False),
+        ("batch_stats", "bn1", "mean"): ("bn1.running_mean", False),
+        ("batch_stats", "layer1_0", "bn2", "var"): ("layer1.0.bn2.running_var", False),
+        ("params", "layer1_0", "downsample_conv", "kernel"): ("layer1.0.downsample.0.weight", True),
+        ("params", "layer1_0", "downsample_bn", "bias"): ("layer1.0.downsample.1.bias", False),
+        ("params", "layer5", "branch2_kernel"): ("layer5.conv2d_list.2.weight", True),
+        ("params", "layer5", "branch2_bias"): ("layer5.conv2d_list.2.bias", False),
+        # Open-set heads are NOT sequential indices (deeplab_multi.py:141-142).
+        ("params", "layer5_1", "branch0_kernel"): ("layer5_1.conv2d_list.0.weight", True),
+        ("params", "layer6_1", "branch3_bias"): ("layer6_1.conv2d_list.3.bias", False),
+        # VGG feature stack.
+        ("params", "features_29", "kernel"): ("features.29.weight", True),
+    }
+    for path, want in cases.items():
+        assert flax_path_to_torch_key(path) == want, path
+
+
+def test_export_import_roundtrip():
+    model, variables = _small_model_vars()
+    sd = export_state_dict(variables)
+    assert "layer5_1.conv2d_list.0.weight" in sd
+    assert sd["conv1.weight"].shape == (64, 3, 7, 7)  # OIHW
+
+    # Perturb, then restore from the export: must get the originals back, everywhere.
+    perturbed = jax.tree.map(lambda a: a + 1.0, variables)
+    restored, report = import_state_dict(perturbed, sd)
+    flat_orig = jax.tree.leaves(variables)
+    flat_rest = jax.tree.leaves(restored)
+    for a, b in zip(flat_orig, flat_rest):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert not report["missing"] and not report["unused"]
+
+
+def test_import_changes_forward():
+    model, variables = _small_model_vars()
+    _, v2 = _small_model_vars(seed=1)
+    sd = export_state_dict(v2)
+    merged, _ = import_state_dict(variables, sd)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 32, 3).astype(np.float32))
+    a = model.apply(variables, x, False)[1]
+    b = model.apply(merged, x, False)[1]
+    c = model.apply(v2, x, False)[1]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=1e-6)
+
+
+def test_prefix_strip_flavour():
+    """trainV1_warmup.py:177 strips a 6-char prefix and shape-filters."""
+    _, variables = _small_model_vars()
+    sd = export_state_dict(variables)
+    prefixed = {"Scale." + k: v for k, v in sd.items()}
+    restored, report = import_state_dict(
+        jax.tree.map(lambda a: a * 0, variables), prefixed, strip_prefix=6,
+        shape_filter=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["conv1"]["kernel"]),
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
+    )
+    assert len(report["loaded"]) > 100
+
+
+def test_key_intersection_flavour():
+    """trainV2_simt.py:252-255: load a closed-set checkpoint into the open-set model;
+    open-set head keys stay at init, everything else loads."""
+    closed_model, closed_vars = _small_model_vars(openset=False)
+    sd = export_state_dict(closed_vars)
+
+    open_model, open_vars = _small_model_vars(openset=True)
+    merged, report = import_state_dict(open_vars, sd, shape_filter=True)
+    assert any("layer5_1" in k for k in map(str, report["missing"]))
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["layer6"]["branch0_kernel"]),
+        np.transpose(sd["layer6.conv2d_list.0.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["layer5_1"]["branch0_kernel"]),
+        np.asarray(open_vars["params"]["layer5_1"]["branch0_kernel"]),
+    )
+
+
+def test_exclude_flavour():
+    """deeplab.py:230-235: caffe load that skips the classifier head."""
+    _, variables = _small_model_vars()
+    sd = export_state_dict(variables)
+    zeroed = jax.tree.map(lambda a: a * 0, variables)
+    restored, report = import_state_dict(zeroed, sd, exclude=("layer5", "layer6"))
+    assert np.allclose(np.asarray(restored["params"]["layer5"]["branch0_kernel"]), 0)
+    assert not np.allclose(np.asarray(restored["params"]["conv1"]["kernel"]), 0)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Full-resume checkpointing the reference never had (SURVEY.md §5)."""
+    from tests.test_train import tiny_cfg, tiny_model, batch, HW
+
+    from simt_tpu.train import checkpoint as ckpt_lib
+    from simt_tpu.train import create_warmup_state, make_warmup_step
+
+    cfg = tiny_cfg(tmp_path, "warmup")
+    model = tiny_model(False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)), False)
+    state = create_warmup_state(model, variables, cfg)
+    step = make_warmup_step(model, cfg)
+    state, _ = step(state, batch())
+
+    path = ckpt_lib.save(state, str(tmp_path / "snap"), int(state.step))
+    assert ckpt_lib.latest_step(str(tmp_path / "snap")) == 1
+    restored = ckpt_lib.restore(state, str(tmp_path / "snap"))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # Resume: one more step from the restored state matches continuing the original.
+    s_cont, m_cont = step(state, batch(5))
+    s_rest, m_rest = step(restored, batch(5))
+    assert float(m_cont["loss_seg2"]) == float(m_rest["loss_seg2"])
