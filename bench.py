@@ -43,16 +43,18 @@ def main():
     raw = synthetic.synthetic_batch(batch_size=batch_size, hw=hw, num_classes=19, seed=0)
     batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
 
-    # Warmup (compile) + a few steady steps.
+    # Warmup (compile) + a few steady steps. NOTE: on the axon tunnel platform
+    # block_until_ready is not a true device sync — a host readback of a scalar is the
+    # only honest barrier (verified against XLA cost analysis), so we time with one.
     for _ in range(3):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n = 20
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # forces completion of the whole chained sequence
     dt = time.perf_counter() - t0
     steps_per_sec = n / dt
 

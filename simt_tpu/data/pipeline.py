@@ -31,10 +31,29 @@ import numpy as np
 
 from . import lists
 
-try:  # native C++ preprocessing extension (optional fast path)
-    from . import _native_preproc as _native
-except Exception:  # pragma: no cover
-    _native = None
+def _native():
+    """The C++ preprocessing library, or None (PIL fallback).
+
+    Bicubic is bit-identical to Pillow at every size; nearest is bit-identical at all
+    production label geometries (2048x1024 -> 1024x512, GTA5 1914x1052 -> crop) and all
+    tested downscales — Pillow's mixed fixed/float internals can differ on integer-tie
+    columns at other ratios (tests pin the production sizes).
+    """
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        try:
+            from . import _native_preproc
+
+            _native_preproc.load()
+            _NATIVE = _native_preproc
+        except Exception:  # pragma: no cover - toolchain missing
+            _NATIVE = None
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE = _UNSET
+USE_NATIVE = True  # module-level switch (DataConfig.use_native_preproc sets this)
 
 
 def _open_image(path: str, mode: str = "RGB"):
@@ -48,21 +67,33 @@ def load_image_bgr(
     path: str,
     crop_wh: Tuple[int, int],
     mean_bgr: Sequence[float],
+    mirror: bool = False,
 ) -> np.ndarray:
-    """Decode + bicubic resize to (w,h) + BGR + mean-sub, HWC float32
-    (cityscapes_dataset.py:100,105,108,117-118)."""
+    """Decode + bicubic resize to (w,h) + [mirror] + BGR + mean-sub, HWC float32
+    (cityscapes_dataset.py:100,105,108,111-118)."""
     from PIL import Image
 
+    native = _native() if USE_NATIVE else None
+    if native is not None:
+        rgb = np.asarray(_open_image(path), np.uint8)
+        return native.preprocess_image(rgb, crop_wh[1], crop_wh[0], mean_bgr, mirror)
     img = _open_image(path).resize(crop_wh, Image.BICUBIC)
     arr = np.asarray(img, np.float32)
+    if mirror:
+        arr = arr[:, ::-1]
     arr = arr[:, :, ::-1] - np.asarray(mean_bgr, np.float32)
-    return arr
+    return np.ascontiguousarray(arr)
 
 
 def load_label(path: str, crop_wh: Tuple[int, int]) -> np.ndarray:
     """Decode + nearest resize, HW int32 (cityscapes_dataset.py:101,106)."""
     from PIL import Image
 
+    native = _native() if USE_NATIVE else None
+    if native is not None:
+        lab = np.asarray(_open_image(path, mode=None), np.uint8)
+        if lab.ndim == 2:
+            return native.resize_nearest(lab, crop_wh[1], crop_wh[0]).astype(np.int32)
     lab = _open_image(path, mode=None).resize(crop_wh, Image.NEAREST)
     return np.asarray(lab, np.int32)
 
@@ -137,15 +168,14 @@ class SegDataset:
 
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         s = self.samples[index]
-        image = load_image_bgr(s.image_path, self.crop_wh, self.mean_bgr)
+        mirror = bool(self.mirror and rng is not None and rng.integers(2) == 1)
+        image = load_image_bgr(s.image_path, self.crop_wh, self.mean_bgr, mirror=mirror)
         label = None
         if s.label_path is not None:
             label = load_label(s.label_path, self.crop_wh)
             if s.gta5_remap:
                 label = remap_gta5_ids(label)
-        if self.mirror and rng is not None and rng.integers(2) == 1:
-            image = image[:, ::-1]
-            if label is not None:
+            if mirror:
                 label = label[:, ::-1]
         out = {"image": np.ascontiguousarray(image), "name": s.name}
         if label is not None:
