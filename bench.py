@@ -13,7 +13,24 @@ import time
 BASELINE_STEPS_PER_SEC = 1.29
 
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — first compile of the big step costs minutes
+    over the TPU tunnel; subsequent processes reuse it."""
+    import os
+
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
+    _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

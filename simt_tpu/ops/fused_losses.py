@@ -1,0 +1,254 @@
+"""Flash-style fused loss blocks: upsample + per-pixel losses tiled over output rows.
+
+Why this exists: the reference evaluates every loss on logits upsampled to the full
+input resolution (tools/trainV2_simt.py:370-409). Done naively, that materialises dozens
+of (B, 512, 1024, 34) float32 tensors; measured on TPU v5e the unfused block costs
+60-90 ms per step — more than the entire ResNet-101 forward+backward. Since the
+align-corners upsample is a row-local linear map and every loss is a masked *mean over
+pixels* (plus a per-channel argmax for the anchor loss), the whole block streams: a
+``lax.scan`` over row chunks upsamples one chunk at a time, reduces it to scalar
+accumulators, and never materialises a full-resolution tensor. ``jax.checkpoint`` on the
+body keeps backward memory flat (chunks are recomputed from the tiny stride-8 inputs).
+
+The math is identical to the unfused ops (see tests/test_fused_losses.py for exact
+equivalence): masked means decompose into (sum, count); the anchor argmax decomposes into
+a running strict-max carry (first occurrence wins, matching torch argmax tie-breaking).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .interp import _interp_matrix
+
+
+def _chunk_rows(h: int, target: int = 64) -> int:
+    """Largest divisor of ``h`` that is <= target (chunks must tile exactly)."""
+    for r in range(min(target, h), 0, -1):
+        if h % r == 0:
+            return r
+    return h
+
+
+def _upsample_chunk(x: jax.Array, a_h_c: jax.Array, a_w: jax.Array, prec) -> jax.Array:
+    """(B, h8, w8, C) -> (B, rows, W, C) for one output-row chunk."""
+    y = jnp.einsum("rH,bHwc->brwc", a_h_c, x, precision=prec,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("Ww,brwc->brWc", a_w, y, precision=prec,
+                      preferred_element_type=jnp.float32)
+
+
+def _masked_ce_sums(logits: jax.Array, labels: jax.Array, ignore: int):
+    """(sum of per-pixel CE over valid, count of valid)."""
+    valid = jnp.logical_and(labels >= 0, labels != ignore)
+    safe = jnp.where(valid, labels, 0)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    nll = (logz - picked) * valid
+    return jnp.sum(nll), jnp.sum(valid)
+
+
+def _finish_mean(s: jax.Array, n: jax.Array) -> jax.Array:
+    return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0)
+
+
+def simt_loss_block(
+    x1: jax.Array,
+    x2: jax.Array,
+    teacher_prob8: jax.Array,
+    label: jax.Array,
+    t1m: jax.Array,
+    t2m: jax.Array,
+    *,
+    num_classes: int,
+    open_classes: int,
+    threshold_high: float,
+    threshold_low: float,
+    lambda_place: float,
+    lambda_seg: float,
+    ignore_label: int = 255,
+    chunk_rows: int = 64,
+    precision=None,
+) -> Dict[str, jax.Array]:
+    """All full-resolution SimT losses (trainV2_simt.py:351-409) in one streamed pass.
+
+    Inputs are stride-8: ``x1``/``x2`` student logits (B,h8,w8,C+O), ``teacher_prob8``
+    teacher softmax (B,h8,w8,C); ``label`` is the full-resolution pseudo label (B,H,W).
+    Returns the scalar losses {loss_p1, loss_p2, loss_y1, loss_y2, place, anchor}.
+
+    ``precision``: MXU precision for the upsample/NTM matmuls. The default (single-pass)
+    is used for training — a 6-pass HIGHEST upsample costs ~18 ms/step on v5e for a
+    ~1e-2 logit difference that is irrelevant to SGD; evaluation (which gates mIoU
+    parity) uses HIGHEST via ops/interp.py. On CPU (tests) f32 is exact either way.
+    """
+    c, o = num_classes, open_classes
+    total = c + o
+    b, h8, w8, _ = x1.shape
+    _, hh, ww = label.shape
+    rows = _chunk_rows(hh, chunk_rows)
+    n_chunks = hh // rows
+
+    a_h = jnp.asarray(_interp_matrix(h8, hh))  # (H, h8)
+    a_w = jnp.asarray(_interp_matrix(w8, ww))  # (W, w8)
+    a_h_chunks = a_h.reshape(n_chunks, rows, h8)
+    label_chunks = jnp.moveaxis(label.reshape(b, n_chunks, rows, ww), 1, 0)
+    prec = precision
+
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    teacher_prob8 = teacher_prob8.astype(jnp.float32)
+
+    def head_chunk_losses(pred, refined, label_c):
+        """Per-head local sums: CE(refined), placeholder parts, noisy posterior parts."""
+        # CE vs refined label (:394-395).
+        ce_s, ce_n = _masked_ce_sums(pred, refined, ignore_label)
+
+        # Placeholder loss (:202-230) — the zeros-multiplied suppression (value 0).
+        pseudo = jnp.argmax(pred, axis=-1)
+        onehot = jax.nn.one_hot(pseudo, total, dtype=jnp.bool_)
+        predict = jnp.where(onehot, 0.0, pred)
+        pseudo1 = jnp.where(pseudo < c, pseudo, ignore_label)
+        pred_max = jnp.max(jax.nn.softmax(pred, axis=-1), axis=-1)
+        pseudo1 = jnp.where(pred_max > threshold_high, pseudo1, ignore_label)
+        known_s, known_n = _masked_ce_sums(pred, pseudo1, ignore_label)
+        channel = jnp.arange(total)
+        predict_open = jnp.where(channel >= c, predict, 0.0)
+        place_y = jnp.argmax(predict_open, axis=-1)
+        place_y = jnp.where(pseudo1 == ignore_label, ignore_label, place_y)
+        unk_s, unk_n = _masked_ce_sums(predict, place_y, ignore_label)
+
+        # Noisy posterior (:402-409): log(softmax(pred) @ T) NLL — T applied by caller.
+        return (ce_s, ce_n, known_s, known_n, unk_s, unk_n)
+
+    def body(carry, inp):
+        a_h_c, label_c = inp
+        pred1 = _upsample_chunk(x1, a_h_c, a_w, prec)
+        pred2 = _upsample_chunk(x2, a_h_c, a_w, prec)
+        tch = _upsample_chunk(teacher_prob8, a_h_c, a_w, prec)
+
+        # Teacher thresholding (:354-362).
+        tmax = jnp.max(tch, axis=-1)
+        targ = jnp.argmax(tch, axis=-1)
+        conf = jnp.where(tmax > threshold_high, targ, ignore_label)
+        conf = jnp.where(tmax < threshold_low, c, conf)
+
+        # Class-posterior refinement (:387-393) — uses head-2's argmax.
+        pseudo2 = jnp.argmax(pred2, axis=-1)
+        unk = conf == c
+        p1_ = jnp.where(unk, pseudo2, 0)
+        p1_ = jnp.where(p1_ >= c, p1_, ignore_label)
+        refined = jnp.where(unk, p1_, conf)
+
+        h1 = head_chunk_losses(pred1, refined, label_c)
+        h2 = head_chunk_losses(pred2, refined, label_c)
+
+        # Noisy posterior sums (:402-409).
+        def noisy_sums(pred, tm):
+            prob = jax.nn.softmax(pred, axis=-1)
+            noisy = jnp.einsum("brwk,kc->brwc", prob, tm, precision=prec,
+                               preferred_element_type=jnp.float32)
+            valid = jnp.logical_and(label_c >= 0, label_c != ignore_label)
+            safe = jnp.where(valid, label_c, 0)
+            p = jnp.take_along_axis(noisy, safe[..., None], axis=-1)[..., 0]
+            return jnp.sum(-jnp.log(p) * valid), jnp.sum(valid)
+
+        y1 = noisy_sums(pred1, t1m)
+        y2 = noisy_sums(pred2, t2m)
+
+        # Anchor carry (:374-384): per-channel running max of detached logits with the
+        # teacher posterior at the max pixel; strict > keeps the first occurrence.
+        def anchor_carry(pred, max_v, rows_v, exist_v):
+            flat = jax.lax.stop_gradient(pred).reshape(-1, total)
+            tflat = jax.lax.stop_gradient(tch).reshape(-1, c)
+            idx = jnp.argmax(flat, axis=0)
+            cand_max = jnp.take_along_axis(flat, idx[None, :], axis=0)[0]
+            cand_rows = tflat[idx]
+            better = cand_max > max_v
+            new_max = jnp.where(better, cand_max, max_v)
+            new_rows = jnp.where(better[:, None], cand_rows, rows_v)
+            # Per-class presence without a scatter (TPU scatters serialize): max-reduce
+            # of the one-hot over pixels.
+            ex = jnp.max(jax.nn.one_hot(jnp.argmax(flat, axis=1), total), axis=0)
+            return new_max, new_rows, jnp.maximum(exist_v, ex)
+
+        (m1, r1, e1, m2, r2, e2, acc) = carry
+        m1, r1, e1 = anchor_carry(pred1, m1, r1, e1)
+        m2, r2, e2 = anchor_carry(pred2, m2, r2, e2)
+        acc = tuple(
+            a + jnp.asarray(v, jnp.float32)
+            for a, v in zip(acc, h1 + h2 + y1 + y2)
+        )
+        return (m1, r1, e1, m2, r2, e2, acc), None
+
+    neg = jnp.full((total,), -jnp.inf, jnp.float32)
+    zrows = jnp.zeros((total, c), jnp.float32)
+    zex = jnp.zeros((total,), jnp.float32)
+    acc0 = tuple(jnp.zeros((), jnp.float32) for _ in range(16))
+    carry0 = (neg, zrows, zex, neg, zrows, zex, acc0)
+
+    carry, _ = jax.lax.scan(
+        jax.checkpoint(body), carry0, (a_h_chunks, label_chunks)
+    )
+    m1, r1, e1, m2, r2, e2, acc = carry
+    (ce1_s, ce1_n, k1_s, k1_n, u1_s, u1_n,
+     ce2_s, ce2_n, k2_s, k2_n, u2_s, u2_n,
+     y1_s, y1_n, y2_s, y2_n) = acc
+
+    loss_p1 = _finish_mean(ce1_s, ce1_n)
+    loss_p2 = _finish_mean(ce2_s, ce2_n)
+    loss_y1 = _finish_mean(y1_s, y1_n)
+    loss_y2 = _finish_mean(y2_s, y2_n)
+    place1 = _finish_mean(k1_s, k1_n) + lambda_place * _finish_mean(u1_s, u1_n)
+    place2 = _finish_mean(k2_s, k2_n) + lambda_place * _finish_mean(u2_s, u2_n)
+    place = lambda_seg * place1 + place2
+
+    anchor = jnp.sum(e1[:, None] * (t1m - r1) ** 2) + jnp.sum(
+        e2[:, None] * (t2m - r2) ** 2
+    )
+
+    return {
+        "loss_p1": loss_p1,
+        "loss_p2": loss_p2,
+        "loss_y1": loss_y1,
+        "loss_y2": loss_y2,
+        "place": place,
+        "anchor": anchor,
+    }
+
+
+def upsample_ce(
+    logits: jax.Array,
+    label: jax.Array,
+    *,
+    ignore_label: int = 255,
+    chunk_rows: int = 64,
+    precision=None,
+) -> jax.Array:
+    """Fused align-corners upsample + masked CE mean (the warmup loss,
+    trainV1_warmup.py:219-224), streamed over row chunks."""
+    b, h8, w8, cc = logits.shape
+    _, hh, ww = label.shape
+    rows = _chunk_rows(hh, chunk_rows)
+    n_chunks = hh // rows
+    a_h = jnp.asarray(_interp_matrix(h8, hh)).reshape(n_chunks, rows, h8)
+    a_w = jnp.asarray(_interp_matrix(w8, ww))
+    label_chunks = jnp.moveaxis(label.reshape(b, n_chunks, rows, ww), 1, 0)
+    prec = precision
+    logits = logits.astype(jnp.float32)
+
+    def body(carry, inp):
+        a_h_c, label_c = inp
+        pred = _upsample_chunk(logits, a_h_c, a_w, prec)
+        s, n = _masked_ce_sums(pred, label_c, ignore_label)
+        return (carry[0] + s, carry[1] + n), None
+
+    (s, n), _ = jax.lax.scan(
+        jax.checkpoint(body),
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        (a_h, label_chunks),
+    )
+    return _finish_mean(s, n)

@@ -74,6 +74,8 @@ def train(
     print_fn: Callable[[str], None] = print,
     csv_path: Optional[str] = None,
     max_steps: Optional[int] = None,
+    resume: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> Dict:
     """Run one stage. ``eval_fn(model, variables) -> mIoU`` is injected (the real
     Cityscapes evaluator or a synthetic one). Returns summary dict."""
@@ -102,6 +104,12 @@ def train(
         step_fn = make_warmup_step(student, cfg)
         fmt = format_warmup_line
 
+    if resume and cfg.snapshot_dir and ckpt_lib.latest_step(cfg.snapshot_dir) is not None:
+        # Full resume (params + opt states + step) — impossible in the reference,
+        # whose checkpoints carry only the model state_dict (SURVEY.md §5).
+        state = ckpt_lib.restore(state, cfg.snapshot_dir)
+        print_fn(f"resumed from step {int(state.step)}")
+
     if batch_iter is None:
         batch_iter = build_loader(cfg)
 
@@ -110,8 +118,11 @@ def train(
     best_miou, best_step = 0.0, 0
     stop_at = min(cfg.num_steps_stop, max_steps or cfg.num_steps_stop)
     metrics = {}
+    start_step = int(state.step)
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
-    for i_iter in range(stop_at):
+    for i_iter in range(start_step, stop_at):
         batch = next(batch_iter)
         batch = {k: v for k, v in batch.items() if k in ("image", "label")}
         state, metrics = step_fn(state, batch)
@@ -142,6 +153,8 @@ def train(
                     ckpt_lib.save(state, cfg.snapshot_dir, i_iter)
                 best_miou, best_step = miou, i_iter
 
+    if profile_dir:
+        jax.profiler.stop_trace()
     if cfg.snapshot_dir:
         os.makedirs(cfg.snapshot_dir, exist_ok=True)
         ckpt_lib.save(state, cfg.snapshot_dir, stop_at)

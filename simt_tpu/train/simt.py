@@ -29,15 +29,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import flax.traverse_util as traverse_util
+
 from ..models import ntm as ntm_lib
-from ..ops import (
-    cross_entropy_2d,
-    mse_sum,
-    nll_from_probs_2d,
-    placeholder_loss,
-    upsample_bilinear_align_corners,
-    volume_loss,
-)
+from ..ops import mse_sum, volume_loss
+from ..ops.fused_losses import simt_loss_block
 from ..ops.schedules import poly_lr
 from . import state as state_lib
 
@@ -124,13 +120,29 @@ def make_simt_step(model, teacher_model, cfg):
     def ntm_fwd(p):
         return ntm_lib.ntm_forward(p, class_dist, c, o)
 
+    def split_params(params):
+        """(trainable, frozen) flat dicts. Differentiating only the trainable set lets
+        XLA dead-code-eliminate the entire frozen backward — in the SimT stage the
+        stem/layer1/layer2 are frozen (deeplab_multi.py:203-209), so their weight grads
+        and the max-pool select-and-scatter backward never run."""
+        flat = traverse_util.flatten_dict(params)
+        train, frozen = {}, {}
+        for k, v in flat.items():
+            label = state_lib.param_label(
+                k, warmup=False,
+                aspp_effective_branches=cfg.model.aspp_effective_branches,
+            )
+            (frozen if label == state_lib.LABEL_FROZEN else train)[k] = v
+        return train, frozen
+
+    def merge_params(train, frozen):
+        return traverse_util.unflatten_dict({**train, **frozen})
+
     @jax.jit
     def train_step(
         st: state_lib.SimTState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.SimTState, Dict[str, jax.Array]]:
         image, label = batch["image"], batch["label"]
-        b, h, w = label.shape
-        hw = (h, w)
         lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)
         lr_t = poly_lr(
             cfg.optim.learning_rate_t, st.step, cfg.optim.num_steps, cfg.optim.power
@@ -167,69 +179,36 @@ def make_simt_step(model, teacher_model, cfg):
             image,
             False,
         )
-        teacher_prob = upsample_bilinear_align_corners(
-            jax.nn.softmax(teach2.astype(jnp.float32), axis=-1), hw
-        )  # (B,H,W,C): softmax at stride 8, then upsample — reference order (:354)
-        tmax = jnp.max(teacher_prob, axis=-1)
-        targ = jnp.argmax(teacher_prob, axis=-1)
-        conf_label = jnp.where(tmax > s.threshold_high, targ, ignore)
-        conf_label = jnp.where(tmax < s.threshold_low, c, conf_label)  # class-C unknown
-        teacher_flat = teacher_prob.reshape(-1, c)
+        # Softmax at stride 8 — reference order (:354); the upsample + thresholding
+        # happen inside the streamed loss block.
+        teacher_prob8 = jax.nn.softmax(teach2.astype(jnp.float32), axis=-1)
 
         # ------- student forward + composite loss (:370-424) -------
-        def loss_fn(params, t1p, t2p):
+        train_params, frozen_params = split_params(st.model.params)
+
+        def loss_fn(tparams, t1p, t2p):
             t1m = ntm_fwd(t1p)
             t2m = ntm_fwd(t2p)
             (x1, x2), mutated = model.apply(
-                {"params": params, "batch_stats": st.model.batch_stats},
+                {"params": merge_params(tparams, frozen_params),
+                 "batch_stats": st.model.batch_stats},
                 image,
                 True,
                 mutable=["batch_stats"],
             )
-            pred1 = upsample_bilinear_align_corners(x1, hw)
-            pred2 = upsample_bilinear_align_corners(x2, hw)
-
-            # Anchor loss (:374-384) — student logits detached; grads flow to T only.
-            anchor = _anchor_loss(
-                jax.lax.stop_gradient(pred1).reshape(-1, total), t1m, teacher_flat
-            ) + _anchor_loss(
-                jax.lax.stop_gradient(pred2).reshape(-1, total), t2m, teacher_flat
-            )
-
-            # Class-posterior constraint (:387-395): unknown pixels take the student's
-            # own open-set argmax (if it is an open class) as the label.
-            pseudo = jnp.argmax(jax.lax.stop_gradient(pred2), axis=-1)
-            unk = conf_label == c
-            pseudo1 = jnp.where(unk, pseudo, 0)
-            pseudo1 = jnp.where(pseudo1 >= c, pseudo1, ignore)
-            refined = jnp.where(unk, pseudo1, conf_label)
-            loss_p1 = cross_entropy_2d(pred1, refined, ignore_label=ignore)
-            loss_p2 = cross_entropy_2d(pred2, refined, ignore_label=ignore)
-
-            # Placeholder loss (:398-399).
-            place = s.lambda_seg * placeholder_loss(
-                pred1,
-                num_classes=c,
-                open_classes=o,
-                lambda_place=s.lambda_place,
-                threshold=s.threshold_high,
-                ignore_label=ignore,
-            ) + placeholder_loss(
-                pred2,
-                num_classes=c,
-                open_classes=o,
-                lambda_place=s.lambda_place,
-                threshold=s.threshold_high,
+            # All full-resolution losses — anchor (:374-384), class-posterior
+            # refinement + CE (:387-395), placeholder (:398-399), noisy posterior
+            # (:402-409) — in one streamed pass (ops/fused_losses.py).
+            losses = simt_loss_block(
+                x1, x2, teacher_prob8, label, t1m, t2m,
+                num_classes=c, open_classes=o,
+                threshold_high=s.threshold_high, threshold_low=s.threshold_low,
+                lambda_place=s.lambda_place, lambda_seg=s.lambda_seg,
                 ignore_label=ignore,
             )
-
-            # Noisy posterior loss (:402-409): softmax(pred) @ T, log-NLL vs pseudo label.
-            prob1 = jax.nn.softmax(pred1.astype(jnp.float32), axis=-1).reshape(-1, total)
-            noisy1 = (prob1 @ t1m).reshape(b, h, w, c)
-            prob2 = jax.nn.softmax(pred2.astype(jnp.float32), axis=-1).reshape(-1, total)
-            noisy2 = (prob2 @ t2m).reshape(b, h, w, c)
-            loss_y1 = nll_from_probs_2d(noisy1, label, ignore_label=ignore)
-            loss_y2 = nll_from_probs_2d(noisy2, label, ignore_label=ignore)
+            loss_p1, loss_p2 = losses["loss_p1"], losses["loss_p2"]
+            loss_y1, loss_y2 = losses["loss_y1"], losses["loss_y2"]
+            place, anchor = losses["place"], losses["anchor"]
 
             # Convex loss (:412-415): push T away from the other rows' convex hull.
             convex = -(
@@ -260,8 +239,12 @@ def make_simt_step(model, teacher_model, cfg):
             return loss, (metrics, mutated["batch_stats"])
 
         grads = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-        (g_model, g_t1, g_t2), (metrics, new_stats) = grads(
-            st.model.params, st.t1.param, st.t2.param
+        (g_train, g_t1, g_t2), (metrics, new_stats) = grads(
+            train_params, st.t1.param, st.t2.param
+        )
+        # Zero-fill frozen entries so the optimizer sees the full tree (it masks them).
+        g_model = merge_params(
+            g_train, jax.tree.map(jnp.zeros_like, frozen_params)
         )
 
         upd, opt_state = model_update(g_model, st.model.opt_state, st.model.params, lr)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops import cross_entropy_2d, upsample_bilinear_align_corners
+from ..ops.fused_losses import upsample_ce
 from ..ops.schedules import poly_lr
 from . import state as state_lib
 
@@ -53,7 +53,6 @@ def make_warmup_step(model, cfg):
         st: state_lib.WarmupState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.WarmupState, Dict[str, jax.Array]]:
         image, label = batch["image"], batch["label"]
-        hw = image.shape[1:3]
 
         def loss_fn(params):
             (x1, x2), mutated = model.apply(
@@ -62,10 +61,9 @@ def make_warmup_step(model, cfg):
                 True,
                 mutable=["batch_stats"],
             )
-            p1 = upsample_bilinear_align_corners(x1, hw)
-            p2 = upsample_bilinear_align_corners(x2, hw)
-            l1 = cross_entropy_2d(p1, label, ignore_label=ignore)
-            l2 = cross_entropy_2d(p2, label, ignore_label=ignore)
+            # Streamed upsample+CE (trainV1_warmup.py:219-224 semantics, flash-style).
+            l1 = upsample_ce(x1, label, ignore_label=ignore)
+            l2 = upsample_ce(x2, label, ignore_label=ignore)
             return l2 + lambda_seg * l1, (l1, l2, mutated["batch_stats"])
 
         grads, (l1, l2, new_stats) = jax.grad(loss_fn, has_aux=True)(st.model.params)

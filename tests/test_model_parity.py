@@ -1,0 +1,118 @@
+"""Full-model forward parity vs torch.
+
+Builds a functional torch twin of the DeepLabv2 forward *from our exported state_dict*
+(torch F.conv2d/F.batch_norm/F.max_pool2d driven by the checkpoint key layout), then
+checks the jax forward matches to float tolerance at every head. This is the
+activation-level parity check SURVEY.md §7 calls out as the mitigation for the
+frozen-BN/ASPP-quirk silent-failure risk.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from simt_tpu.models.import_torch import export_state_dict
+from simt_tpu.models.resnet_multi import ResNetMulti
+
+
+def _t(sd, key):
+    return torch.from_numpy(np.asarray(sd[key]))
+
+
+def _conv(x, sd, prefix, stride=1, padding=0, dilation=1):
+    bias = _t(sd, prefix + ".bias") if prefix + ".bias" in sd else None
+    return F.conv2d(x, _t(sd, prefix + ".weight"), bias, stride=stride, padding=padding,
+                    dilation=dilation)
+
+
+def _bn(x, sd, prefix):
+    return F.batch_norm(
+        x, _t(sd, prefix + ".running_mean"), _t(sd, prefix + ".running_var"),
+        _t(sd, prefix + ".weight"), _t(sd, prefix + ".bias"), training=False, eps=1e-5,
+    )
+
+
+def _bottleneck(x, sd, prefix, stride, dilation):
+    out = F.relu(_bn(_conv(x, sd, prefix + ".conv1", stride=stride), sd, prefix + ".bn1"))
+    out = F.relu(_bn(_conv(out, sd, prefix + ".conv2", padding=dilation, dilation=dilation),
+                     sd, prefix + ".bn2"))
+    out = _bn(_conv(out, sd, prefix + ".conv3"), sd, prefix + ".bn3")
+    if prefix + ".downsample.0.weight" in sd:
+        res = _bn(_conv(x, sd, prefix + ".downsample.0", stride=stride), sd,
+                  prefix + ".downsample.1")
+    else:
+        res = x
+    return F.relu(out + res)
+
+
+def _aspp(x, sd, prefix, effective=2):
+    out = None
+    for i, d in enumerate([6, 12, 18, 24][:effective]):
+        y = _conv(x, sd, f"{prefix}.conv2d_list.{i}", padding=d, dilation=d)
+        out = y if out is None else out + y
+    return out
+
+
+def torch_twin_forward(sd, x_nchw, layers, openset, effective=2):
+    x = F.relu(_bn(_conv(x_nchw, sd, "conv1", stride=2, padding=3), sd, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1, ceil_mode=True)
+    for li, (blocks, stride, dilation) in enumerate(
+        zip(layers, [1, 2, 1, 1], [1, 1, 2, 4]), start=1
+    ):
+        for b in range(blocks):
+            x = _bottleneck(x, sd, f"layer{li}.{b}", stride if b == 0 else 1, dilation)
+        if li == 3:
+            x1 = _aspp(x, sd, "layer5", effective)
+            if openset:
+                x1 = torch.cat([x1, _aspp(x, sd, "layer5_1", effective)], 1)
+    x2 = _aspp(x, sd, "layer6", effective)
+    if openset:
+        x2 = torch.cat([x2, _aspp(x, sd, "layer6_1", effective)], 1)
+    return x1, x2
+
+
+def test_full_forward_matches_torch_twin():
+    layers = (1, 1, 2, 1)
+    model = ResNetMulti(num_classes=5, open_classes=3, openset=True, layers=layers,
+                        dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 65, 97, 3).astype(np.float32) * 50
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    # Randomise BN stats so eval-mode normalisation is non-trivial.
+    bs = jax.tree.map(lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.3
+                                            + (1.0 if a.ndim else 0.0)),
+                      variables["batch_stats"])
+    bs = jax.tree.map(lambda a: jnp.abs(a) + 0.1, bs)
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    got1, got2 = model.apply(variables, jnp.asarray(x), False)
+
+    sd = export_state_dict(variables)
+    want1, want2 = torch_twin_forward(
+        sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()), layers, openset=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got1), want1.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), want2.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_closed_set_forward_matches_torch_twin():
+    layers = (1, 1, 1, 1)
+    model = ResNetMulti(num_classes=4, layers=layers, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 48, 64, 3).astype(np.float32) * 30
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(x), False)
+    got1, got2 = model.apply(variables, jnp.asarray(x), False)
+    sd = export_state_dict(variables)
+    want1, want2 = torch_twin_forward(
+        sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()), layers, openset=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), want2.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )

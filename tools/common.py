@@ -55,6 +55,21 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="force a JAX platform (e.g. 'cpu'); default: ambient (TPU)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace here (SURVEY.md §5 tracing row)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in --snapshot-dir "
+                             "(full optimizer/step state; impossible in the reference)")
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (first compile over the tunnel is minutes)."""
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def apply_platform(args) -> None:
@@ -64,6 +79,7 @@ def apply_platform(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    enable_compilation_cache()
 
 
 def build_config(args, stage: str) -> config_lib.TrainConfig:

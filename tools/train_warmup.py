@@ -42,7 +42,8 @@ def main():
                 batch_size=cfg.data.batch_size, **eval_kw,
             )
 
-    summary = train(cfg, eval_fn=eval_fn, csv_path=args.csv)
+    summary = train(cfg, eval_fn=eval_fn, csv_path=args.csv,
+                    resume=args.resume, profile_dir=args.profile_dir)
     print(f"done: {summary['steps_per_sec']:.3f} steps/s, best mIoU {summary['best_miou']}")
 
 
