@@ -3,22 +3,26 @@
 Why this exists: the reference evaluates every loss on logits upsampled to the full
 input resolution (tools/trainV2_simt.py:370-409). Done naively, that materialises dozens
 of (B, 512, 1024, 34) float32 tensors; measured on TPU v5e the unfused block costs
-60-90 ms per step — more than the entire ResNet-101 forward+backward. Since the
-align-corners upsample is a row-local linear map and every loss is a masked *mean over
-pixels* (plus a per-channel argmax for the anchor loss), the whole block streams: a
-``lax.scan`` over row chunks upsamples one chunk at a time, reduces it to scalar
-accumulators, and never materialises a full-resolution tensor. ``jax.checkpoint`` on the
-body keeps backward memory flat (chunks are recomputed from the tiny stride-8 inputs).
+60-90 ms per step — more than the entire ResNet-101 forward+backward. Two structural
+fixes, both exact:
 
-The math is identical to the unfused ops (see tests/test_fused_losses.py for exact
-equivalence): masked means decompose into (sum, count); the anchor argmax decomposes into
-a running strict-max carry (first occurrence wins, matching torch argmax tie-breaking).
+ 1. **Streaming**: a ``lax.scan`` over output-row chunks upsamples one chunk at a time
+    (the align-corners resize is a row-local linear map) and reduces it to scalar
+    accumulators; ``jax.checkpoint`` keeps backward memory flat. Masked means decompose
+    into (sum, count); the anchor argmax decomposes into a running strict-max carry
+    (first occurrence wins, matching torch argmax tie-breaking).
+ 2. **Channels-first tiles**: per-pixel reductions over C+O=34 channels (softmax,
+    argmax, label gathers) are computed on (C, pixels) tiles — pixels on the 128-wide
+    lane dimension, channels on sublanes — instead of (pixels, 34) tiles that waste 73%
+    of every vector op and relayout on each gather. Measured ~2.5x on the loss block.
+
+The math is identical to the unfused ops (tests/test_fused_losses.py checks values and
+gradients exactly).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -34,26 +38,36 @@ def _chunk_rows(h: int, target: int = 64) -> int:
     return h
 
 
-def _upsample_chunk(x: jax.Array, a_h_c: jax.Array, a_w: jax.Array, prec) -> jax.Array:
-    """(B, h8, w8, C) -> (B, rows, W, C) for one output-row chunk."""
-    y = jnp.einsum("rH,bHwc->brwc", a_h_c, x, precision=prec,
-                   preferred_element_type=jnp.float32)
-    return jnp.einsum("Ww,brwc->brWc", a_w, y, precision=prec,
-                      preferred_element_type=jnp.float32)
-
-
-def _masked_ce_sums(logits: jax.Array, labels: jax.Array, ignore: int):
-    """(sum of per-pixel CE over valid, count of valid)."""
-    valid = jnp.logical_and(labels >= 0, labels != ignore)
-    safe = jnp.where(valid, labels, 0)
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
-    nll = (logz - picked) * valid
-    return jnp.sum(nll), jnp.sum(valid)
-
-
 def _finish_mean(s: jax.Array, n: jax.Array) -> jax.Array:
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0)
+
+
+def _upsample_chunk_cf(x: jax.Array, a_h_c: jax.Array, a_w: jax.Array, prec) -> jax.Array:
+    """(B, h8, w8, C) -> (B, C, rows*W) channels-first chunk (two MXU matmuls)."""
+    z = jnp.einsum("bHWc,rH->bcrW", x, a_h_c, precision=prec,
+                   preferred_element_type=jnp.float32)
+    z = jnp.einsum("bcrW,wW->bcrw", z, a_w, precision=prec,
+                   preferred_element_type=jnp.float32)
+    return z.reshape(x.shape[0], x.shape[-1], -1)
+
+
+def _label_mask(labels: jax.Array, num_ch: int, ignore: int):
+    """(valid (B,P), one-hot mask (B,num_ch,P)) for channels-first gathers."""
+    valid = jnp.logical_and(labels >= 0, labels != ignore)
+    safe = jnp.where(valid, labels, 0)
+    iota = jnp.arange(num_ch, dtype=safe.dtype)[None, :, None]
+    mask = (iota == safe[:, None, :]).astype(jnp.float32)
+    return valid, mask
+
+
+def _ce_sums_cf(logits_cf: jax.Array, labels: jax.Array, ignore: int):
+    """Masked CE sums on channels-first tiles: logits (B,C,P), labels (B,P)."""
+    valid, mask = _label_mask(labels, logits_cf.shape[1], ignore)
+    mx = jnp.max(logits_cf, axis=1)
+    lz = mx + jnp.log(jnp.sum(jnp.exp(logits_cf - mx[:, None, :]), axis=1))
+    picked = jnp.sum(logits_cf * mask, axis=1)
+    nll = (lz - picked) * valid
+    return jnp.sum(nll), jnp.sum(valid)
 
 
 def simt_loss_block(
@@ -81,7 +95,7 @@ def simt_loss_block(
     Returns the scalar losses {loss_p1, loss_p2, loss_y1, loss_y2, place, anchor}.
 
     ``precision``: MXU precision for the upsample/NTM matmuls. The default (single-pass)
-    is used for training — a 6-pass HIGHEST upsample costs ~18 ms/step on v5e for a
+    is used in training — a 6-pass HIGHEST upsample costs ~18 ms/step on v5e for a
     ~1e-2 logit difference that is irrelevant to SGD; evaluation (which gates mIoU
     parity) uses HIGHEST via ops/interp.py. On CPU (tests) f32 is exact either way.
     """
@@ -101,86 +115,91 @@ def simt_loss_block(
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     teacher_prob8 = teacher_prob8.astype(jnp.float32)
+    iota_t = jnp.arange(total)[None, :, None]
 
-    def head_chunk_losses(pred, refined, label_c):
-        """Per-head local sums: CE(refined), placeholder parts, noisy posterior parts."""
+    def head_chunk_losses(pred, refined, label_c, tm):
+        """Per-head local sums on (B, C+O, P) tiles.
+
+        Returns (ce_s, ce_n, known_s, known_n, unk_s, unk_n, y_s, y_n).
+        """
         # CE vs refined label (:394-395).
-        ce_s, ce_n = _masked_ce_sums(pred, refined, ignore_label)
+        ce_s, ce_n = _ce_sums_cf(pred, refined, ignore_label)
 
         # Placeholder loss (:202-230) — the zeros-multiplied suppression (value 0).
-        pseudo = jnp.argmax(pred, axis=-1)
-        onehot = jax.nn.one_hot(pseudo, total, dtype=jnp.bool_)
-        predict = jnp.where(onehot, 0.0, pred)
+        mx = jnp.max(pred, axis=1)
+        den = jnp.sum(jnp.exp(pred - mx[:, None, :]), axis=1)
+        pseudo = jnp.argmax(pred, axis=1)  # (B,P)
+        onehot_arg = iota_t == pseudo[:, None, :]
+        predict = jnp.where(onehot_arg, 0.0, pred)
+        pred_max = jnp.exp(jnp.max(pred, axis=1) - mx) / den  # softmax max
         pseudo1 = jnp.where(pseudo < c, pseudo, ignore_label)
-        pred_max = jnp.max(jax.nn.softmax(pred, axis=-1), axis=-1)
         pseudo1 = jnp.where(pred_max > threshold_high, pseudo1, ignore_label)
-        known_s, known_n = _masked_ce_sums(pred, pseudo1, ignore_label)
-        channel = jnp.arange(total)
-        predict_open = jnp.where(channel >= c, predict, 0.0)
-        place_y = jnp.argmax(predict_open, axis=-1)
+        known_s, known_n = _ce_sums_cf(pred, pseudo1, ignore_label)
+        predict_open = jnp.where(iota_t >= c, predict, 0.0)
+        place_y = jnp.argmax(predict_open, axis=1)
         place_y = jnp.where(pseudo1 == ignore_label, ignore_label, place_y)
-        unk_s, unk_n = _masked_ce_sums(predict, place_y, ignore_label)
+        unk_s, unk_n = _ce_sums_cf(predict, place_y, ignore_label)
 
-        # Noisy posterior (:402-409): log(softmax(pred) @ T) NLL — T applied by caller.
-        return (ce_s, ce_n, known_s, known_n, unk_s, unk_n)
+        # Noisy posterior (:402-409): q = T^T softmax(pred) on the MXU, NLL vs label.
+        sm = jnp.exp(pred - mx[:, None, :]) / den[:, None, :]
+        q = jnp.einsum("kc,bkp->bcp", tm, sm, precision=prec,
+                       preferred_element_type=jnp.float32)
+        valid, maskc = _label_mask(label_c, c, ignore_label)
+        picked = jnp.sum(q * maskc, axis=1)
+        y_s = jnp.sum(-jnp.log(picked) * valid)
+        y_n = jnp.sum(valid)
+        return (ce_s, ce_n, known_s, known_n, unk_s, unk_n, y_s, y_n)
+
+    def anchor_carry(pred, tch, max_v, rows_v, exist_v):
+        """(:374-384): running per-channel max of detached logits + the teacher
+        posterior at the max pixel; strict > keeps the first occurrence. Operates on
+        (B,C+O,P) reshaped to (C+O, B*P) — batch-major pixel order matches the
+        reference's flatten."""
+        flat = jnp.moveaxis(jax.lax.stop_gradient(pred), 1, 0).reshape(total, -1)
+        tflat = jnp.moveaxis(jax.lax.stop_gradient(tch), 1, 0).reshape(c, -1)
+        cand_max = jnp.max(flat, axis=1)
+        idx = jnp.argmax(flat, axis=1)  # (C+O,) pixel index per channel
+        # Gather teacher rows at idx via a one-hot matmul (no TPU gather).
+        sel = (idx[:, None] == jnp.arange(flat.shape[1])[None, :]).astype(jnp.float32)
+        cand_rows = jnp.einsum("tp,cp->tc", sel, tflat, precision=prec,
+                               preferred_element_type=jnp.float32)
+        better = cand_max > max_v
+        new_max = jnp.where(better, cand_max, max_v)
+        new_rows = jnp.where(better[:, None], cand_rows, rows_v)
+        # Per-class presence: max-reduce of the per-pixel argmax one-hot.
+        amax = jnp.argmax(flat, axis=0)  # (B*P,)
+        ex = jnp.max((jnp.arange(total)[:, None] == amax[None, :]).astype(jnp.float32),
+                     axis=1)
+        return new_max, new_rows, jnp.maximum(exist_v, ex)
 
     def body(carry, inp):
         a_h_c, label_c = inp
-        pred1 = _upsample_chunk(x1, a_h_c, a_w, prec)
-        pred2 = _upsample_chunk(x2, a_h_c, a_w, prec)
-        tch = _upsample_chunk(teacher_prob8, a_h_c, a_w, prec)
+        label_c = label_c.reshape(b, -1)  # (B, rows*W)
+        pred1 = _upsample_chunk_cf(x1, a_h_c, a_w, prec)
+        pred2 = _upsample_chunk_cf(x2, a_h_c, a_w, prec)
+        tch = _upsample_chunk_cf(teacher_prob8, a_h_c, a_w, prec)
 
         # Teacher thresholding (:354-362).
-        tmax = jnp.max(tch, axis=-1)
-        targ = jnp.argmax(tch, axis=-1)
+        tmax = jnp.max(tch, axis=1)
+        targ = jnp.argmax(tch, axis=1)
         conf = jnp.where(tmax > threshold_high, targ, ignore_label)
         conf = jnp.where(tmax < threshold_low, c, conf)
 
         # Class-posterior refinement (:387-393) — uses head-2's argmax.
-        pseudo2 = jnp.argmax(pred2, axis=-1)
+        pseudo2 = jnp.argmax(pred2, axis=1)
         unk = conf == c
         p1_ = jnp.where(unk, pseudo2, 0)
         p1_ = jnp.where(p1_ >= c, p1_, ignore_label)
         refined = jnp.where(unk, p1_, conf)
 
-        h1 = head_chunk_losses(pred1, refined, label_c)
-        h2 = head_chunk_losses(pred2, refined, label_c)
-
-        # Noisy posterior sums (:402-409).
-        def noisy_sums(pred, tm):
-            prob = jax.nn.softmax(pred, axis=-1)
-            noisy = jnp.einsum("brwk,kc->brwc", prob, tm, precision=prec,
-                               preferred_element_type=jnp.float32)
-            valid = jnp.logical_and(label_c >= 0, label_c != ignore_label)
-            safe = jnp.where(valid, label_c, 0)
-            p = jnp.take_along_axis(noisy, safe[..., None], axis=-1)[..., 0]
-            return jnp.sum(-jnp.log(p) * valid), jnp.sum(valid)
-
-        y1 = noisy_sums(pred1, t1m)
-        y2 = noisy_sums(pred2, t2m)
-
-        # Anchor carry (:374-384): per-channel running max of detached logits with the
-        # teacher posterior at the max pixel; strict > keeps the first occurrence.
-        def anchor_carry(pred, max_v, rows_v, exist_v):
-            flat = jax.lax.stop_gradient(pred).reshape(-1, total)
-            tflat = jax.lax.stop_gradient(tch).reshape(-1, c)
-            idx = jnp.argmax(flat, axis=0)
-            cand_max = jnp.take_along_axis(flat, idx[None, :], axis=0)[0]
-            cand_rows = tflat[idx]
-            better = cand_max > max_v
-            new_max = jnp.where(better, cand_max, max_v)
-            new_rows = jnp.where(better[:, None], cand_rows, rows_v)
-            # Per-class presence without a scatter (TPU scatters serialize): max-reduce
-            # of the one-hot over pixels.
-            ex = jnp.max(jax.nn.one_hot(jnp.argmax(flat, axis=1), total), axis=0)
-            return new_max, new_rows, jnp.maximum(exist_v, ex)
+        h1 = head_chunk_losses(pred1, refined, label_c, t1m)
+        h2 = head_chunk_losses(pred2, refined, label_c, t2m)
 
         (m1, r1, e1, m2, r2, e2, acc) = carry
-        m1, r1, e1 = anchor_carry(pred1, m1, r1, e1)
-        m2, r2, e2 = anchor_carry(pred2, m2, r2, e2)
+        m1, r1, e1 = anchor_carry(pred1, tch, m1, r1, e1)
+        m2, r2, e2 = anchor_carry(pred2, tch, m2, r2, e2)
         acc = tuple(
-            a + jnp.asarray(v, jnp.float32)
-            for a, v in zip(acc, h1 + h2 + y1 + y2)
+            a + jnp.asarray(v, jnp.float32) for a, v in zip(acc, h1 + h2)
         )
         return (m1, r1, e1, m2, r2, e2, acc), None
 
@@ -194,9 +213,8 @@ def simt_loss_block(
         jax.checkpoint(body), carry0, (a_h_chunks, label_chunks)
     )
     m1, r1, e1, m2, r2, e2, acc = carry
-    (ce1_s, ce1_n, k1_s, k1_n, u1_s, u1_n,
-     ce2_s, ce2_n, k2_s, k2_n, u2_s, u2_n,
-     y1_s, y1_n, y2_s, y2_n) = acc
+    (ce1_s, ce1_n, k1_s, k1_n, u1_s, u1_n, y1_s, y1_n,
+     ce2_s, ce2_n, k2_s, k2_n, u2_s, u2_n, y2_s, y2_n) = acc
 
     loss_p1 = _finish_mean(ce1_s, ce1_n)
     loss_p2 = _finish_mean(ce2_s, ce2_n)
@@ -229,7 +247,7 @@ def upsample_ce(
     precision=None,
 ) -> jax.Array:
     """Fused align-corners upsample + masked CE mean (the warmup loss,
-    trainV1_warmup.py:219-224), streamed over row chunks."""
+    trainV1_warmup.py:219-224), streamed over row chunks, channels-first tiles."""
     b, h8, w8, cc = logits.shape
     _, hh, ww = label.shape
     rows = _chunk_rows(hh, chunk_rows)
@@ -237,13 +255,12 @@ def upsample_ce(
     a_h = jnp.asarray(_interp_matrix(h8, hh)).reshape(n_chunks, rows, h8)
     a_w = jnp.asarray(_interp_matrix(w8, ww))
     label_chunks = jnp.moveaxis(label.reshape(b, n_chunks, rows, ww), 1, 0)
-    prec = precision
     logits = logits.astype(jnp.float32)
 
     def body(carry, inp):
         a_h_c, label_c = inp
-        pred = _upsample_chunk(logits, a_h_c, a_w, prec)
-        s, n = _masked_ce_sums(pred, label_c, ignore_label)
+        pred = _upsample_chunk_cf(logits, a_h_c, a_w, precision)
+        s, n = _ce_sums_cf(pred, label_c.reshape(b, -1), ignore_label)
         return (carry[0] + s, carry[1] + n), None
 
     (s, n), _ = jax.lax.scan(
