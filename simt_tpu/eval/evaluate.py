@@ -38,7 +38,15 @@ EVAL_OUT_HW = (1024, 2048)  # :108
 
 def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
                  out_hw: Tuple[int, int] = EVAL_OUT_HW):
-    """Jitted (variables, image, image_640) -> (B, *out_hw) int32 prediction."""
+    """Jitted eval functions.
+
+    ``predict``: (variables, image, image_640) -> (B, *out_hw) int32 prediction map
+    (used when prediction PNGs must be saved).
+    ``predict_hist``: (variables, image, image_640, gt) -> (C, C) histogram via the
+    fused Pallas kernel (ops/pallas/eval_fused.py) — the fast path; full-resolution
+    logit maps never touch HBM.
+    ``hist_update``: running histogram accumulation.
+    """
 
     @jax.jit
     def predict(variables, image, image_640):
@@ -54,10 +62,32 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     @jax.jit
+    def predict_hist(variables, image, image_640, gt):
+        from ..ops.pallas import multiscale_argmax_hist
+
+        _, out2 = model.apply(variables, image, False)
+        a = out2[..., :num_classes].astype(jnp.float32)
+        if mode == "simt":
+            _, out2b = model.apply(variables, image_640, False)
+            b = out2b[..., :num_classes].astype(jnp.float32)
+        else:
+            # Warmup eval is single-scale (evaluate_cityscapes.py:196-197); a constant-0
+            # second operand leaves the argmax unchanged.
+            b = jnp.zeros((a.shape[0], 1, 1, num_classes), jnp.float32)
+
+        def one(args):
+            la, lb, g = args
+            return multiscale_argmax_hist(
+                la, lb, g, out_hw=out_hw, num_classes=num_classes
+            )
+
+        return jnp.sum(jax.lax.map(one, (a, b, gt)), axis=0)
+
+    @jax.jit
     def hist_update(hist, pred, gt):
         return hist + fast_hist(gt, pred, num_classes)
 
-    return predict, hist_update
+    return predict, predict_hist, hist_update
 
 
 def evaluate(
@@ -91,13 +121,12 @@ def evaluate(
                    loop=False)
         )
 
-    predict, hist_update = make_eval_fn(model, num_classes, mode, out_hw)
+    predict, predict_hist, hist_update = make_eval_fn(model, num_classes, mode, out_hw)
     hist = jnp.zeros((num_classes, num_classes), jnp.int32)
 
     for batch, batch_640 in zip(iter(loaders[0]), iter(loaders[1])):
         image = jnp.asarray(batch["image"])
         image_640 = jnp.asarray(batch_640["image"])
-        pred = predict(variables, image, image_640)
 
         gts = []
         for name in batch["name"]:
@@ -108,14 +137,18 @@ def evaluate(
             gt = np.asarray(Image.open(gt_path))
             gts.append(label_mapping(gt, mapping))
         gt_arr = jnp.asarray(np.stack(gts).astype(np.int32))
-        if gt_arr.shape[1:] != pred.shape[1:]:
+        if gt_arr.shape[1:] != out_hw:
             print_fn(
-                f"Skipping: gt {gt_arr.shape} vs pred {pred.shape} for {batch['name']}"
+                f"Skipping: gt {gt_arr.shape} vs pred {out_hw} for {batch['name']}"
             )
             continue
-        hist = hist_update(hist, pred, gt_arr)
 
-        if save_dir is not None:
+        if save_dir is None:
+            # Fast path: fused Pallas upsample+argmax+histogram.
+            hist = hist + predict_hist(variables, image, image_640, gt_arr)
+        else:
+            pred = predict(variables, image, image_640)
+            hist = hist_update(hist, pred, gt_arr)
             os.makedirs(save_dir, exist_ok=True)
             for i, name in enumerate(batch["name"]):
                 out_name = os.path.basename(name)
