@@ -124,19 +124,43 @@ def evaluate(
     predict, predict_hist, hist_update = make_eval_fn(model, num_classes, mode, out_hw)
     hist = jnp.zeros((num_classes, num_classes), jnp.int32)
 
-    for batch, batch_640 in zip(iter(loaders[0]), iter(loaders[1])):
+    # Host-side gt decode overlaps with device compute (the 2048x1024 PNG decode would
+    # otherwise serialize against the ~20ms/image TPU path).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_gt(name: str) -> np.ndarray:
+        from PIL import Image
+
+        gt_name = name.split("leftImg8bit")[0] + "gtFine_labelIds.png"
+        gt = np.asarray(Image.open(os.path.join(gt_dir, os.path.basename(gt_name))))
+        return label_mapping(gt, mapping)
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def batches():
+        for batch, batch_640 in zip(iter(loaders[0]), iter(loaders[1])):
+            futures = [pool.submit(load_gt, n) for n in batch["name"]]
+            yield batch, batch_640, futures
+
+    import collections
+
+    pending = collections.deque()
+    stream = batches()
+
+    def fill():
+        try:
+            pending.append(next(stream))
+            return True
+        except StopIteration:
+            return False
+
+    fill()
+    while pending:
+        fill()  # keep one batch of gt decodes in flight
+        batch, batch_640, futures = pending.popleft()
         image = jnp.asarray(batch["image"])
         image_640 = jnp.asarray(batch_640["image"])
-
-        gts = []
-        for name in batch["name"]:
-            gt_name = name.split("leftImg8bit")[0] + "gtFine_labelIds.png"
-            gt_path = os.path.join(gt_dir, os.path.basename(gt_name))
-            from PIL import Image
-
-            gt = np.asarray(Image.open(gt_path))
-            gts.append(label_mapping(gt, mapping))
-        gt_arr = jnp.asarray(np.stack(gts).astype(np.int32))
+        gt_arr = jnp.asarray(np.stack([f.result() for f in futures]).astype(np.int32))
         if gt_arr.shape[1:] != out_hw:
             print_fn(
                 f"Skipping: gt {gt_arr.shape} vs pred {out_hw} for {batch['name']}"

@@ -31,9 +31,30 @@ def _dtype(cfg: TrainConfig):
 
 
 def build_models(cfg: TrainConfig):
-    """Student (+ teacher for the simt stage)."""
+    """Student (+ teacher for the simt stage), dispatched on ``ModelConfig.arch``.
+
+    Archs mirror the reference model zoo (SURVEY.md §2.1): ``deeplab_multi`` (the
+    trained flagship), ``deeplab_single`` (Res_Deeplab), ``deeplab_vgg``, ``deeplabv3``.
+    Training stages drive the multi-head family; the others are primarily alternate
+    eval models (as in the reference, evaluate_cityscapes.py:12-14).
+    """
+    from ..models import deeplab_vgg, deeplabv3, res_deeplab
+
     dtype = _dtype(cfg)
     eff = cfg.model.aspp_effective_branches
+    arch = cfg.model.arch
+    if arch == "deeplab_single":
+        return res_deeplab(cfg.model.num_classes, dtype=dtype), None
+    if arch == "deeplab_vgg":
+        return deeplab_vgg(cfg.model.num_classes, dtype=dtype), None
+    if arch == "deeplabv3":
+        return (
+            deeplabv3(cfg.model.num_classes, cfg.model.open_classes,
+                      openset=cfg.model.openset, dtype=dtype),
+            None,
+        )
+    if arch != "deeplab_multi":
+        raise ValueError(f"unknown arch {arch!r}")
     if cfg.stage == "simt":
         student = deeplab_multi(
             cfg.model.num_classes, cfg.model.open_classes, openset=True,

@@ -48,6 +48,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="prior name (bapa/sfdaseg/...) or .npy path")
     parser.add_argument("--compute-dtype", type=str, default=None,
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--model", type=str, default=None,
+                        choices=["deeplab_multi", "deeplab_single", "deeplab_vgg",
+                                 "deeplabv3"],
+                        help="model arch (reference MODEL choice, evaluate_cityscapes.py:38)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (SURVEY.md §5 sanitizer row)")
     parser.add_argument("--synthetic", action="store_true",
                         help="run hermetically on a generated tiny dataset")
     parser.add_argument("--csv", type=str, default=None, help="metric CSV output path")
@@ -79,6 +85,10 @@ def apply_platform(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     enable_compilation_cache()
 
 
@@ -112,6 +122,8 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
         model = dataclasses.replace(model, open_classes=args.open_classes)
     if args.compute_dtype is not None:
         model = dataclasses.replace(model, compute_dtype=args.compute_dtype)
+    if args.model is not None:
+        model = dataclasses.replace(model, arch=args.model)
     model = dataclasses.replace(model, openset=stage == "simt")
 
     data = cfg.data
