@@ -144,6 +144,60 @@ def res_stage(
     return x
 
 
+def aspp_branch_params(
+    mod: nn.Module, scope_name: str, in_ch: int, num_classes: int,
+    dilations: Sequence[int] = (6, 12, 18, 24),
+):
+    """Create the 4 dilated-conv branch params of one ``Classifier_Module``
+    (deeplab_multi.py:104-113) under a child scope named ``scope_name`` (so the torch
+    checkpoint mapping ``layer5.conv2d_list.{i}`` keeps working). Returns
+    (kernels, biases) lists of length 4."""
+
+    class _Params(nn.Module):
+        @nn.compact
+        def __call__(self):
+            ws, bs = [], []
+            for i in range(len(dilations)):
+                ws.append(self.param(
+                    f"branch{i}_kernel", nn.initializers.normal(stddev=0.01),
+                    (3, 3, in_ch, num_classes), jnp.float32,
+                ))
+                bs.append(self.param(
+                    f"branch{i}_bias", nn.initializers.zeros, (num_classes,), jnp.float32
+                ))
+            return ws, bs
+
+    return _Params(name=scope_name)()
+
+
+def aspp_apply(
+    x: jax.Array,
+    kernels: Sequence[jax.Array],
+    biases: Sequence[jax.Array],
+    *,
+    dilations: Sequence[int] = (6, 12, 18, 24),
+    effective_branches: int = 2,
+    dtype: Any = jnp.bfloat16,
+) -> jax.Array:
+    """Sum of the first ``effective_branches`` dilated convs (the reference's
+    early-return quirk, deeplab_multi.py:115-119). Branch sum + bias in float32 (MXU
+    accumulates bf16 matmuls in f32 internally; the cross-branch reduction shouldn't
+    re-round to bf16)."""
+    out = None
+    for i, d in enumerate(dilations[:effective_branches]):
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernels[i].astype(dtype),
+            window_strides=(1, 1),
+            padding=((d, d), (d, d)),
+            rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y.astype(jnp.float32) + biases[i]
+        out = y if out is None else out + y
+    return out.astype(dtype)
+
+
 class ASPPHead(nn.Module):
     """ASPP classifier (``Classifier_Module``, model/deeplab_multi.py:104-119).
 
@@ -164,29 +218,16 @@ class ASPPHead(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        out = None
-        for i, d in enumerate(self.dilations):
-            w = self.param(
-                f"branch{i}_kernel",
-                nn.initializers.normal(stddev=0.01),
-                (3, 3, in_ch, self.num_classes),
-                jnp.float32,
-            )
-            b = self.param(
+        ws, bs = [], []
+        for i in range(len(self.dilations)):
+            ws.append(self.param(
+                f"branch{i}_kernel", nn.initializers.normal(stddev=0.01),
+                (3, 3, in_ch, self.num_classes), jnp.float32,
+            ))
+            bs.append(self.param(
                 f"branch{i}_bias", nn.initializers.zeros, (self.num_classes,), jnp.float32
-            )
-            if i >= self.effective_branches:
-                continue
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                w.astype(self.dtype),
-                window_strides=(1, 1),
-                padding=((d, d), (d, d)),
-                rhs_dilation=(d, d),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            # Branch sum + bias in float32 (MXU accumulates bf16 matmuls in f32
-            # internally; the cross-branch reduction shouldn't re-round to bf16).
-            y = y.astype(jnp.float32) + b
-            out = y if out is None else out + y
-        return out.astype(self.dtype)
+            ))
+        return aspp_apply(
+            x, ws, bs, dilations=self.dilations,
+            effective_branches=self.effective_branches, dtype=self.dtype,
+        )

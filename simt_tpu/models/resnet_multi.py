@@ -24,7 +24,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ASPPHead, batch_norm, conv, max_pool_ceil, res_stage
+from .layers import (
+    ASPPHead,
+    aspp_apply,
+    aspp_branch_params,
+    batch_norm,
+    conv,
+    max_pool_ceil,
+    res_stage,
+)
 
 
 class ResNetMulti(nn.Module):
@@ -34,6 +42,21 @@ class ResNetMulti(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)
     aspp_effective_branches: int = 2
     dtype: Any = jnp.bfloat16
+
+    def _head(self, x: jax.Array, name: str) -> jax.Array:
+        """One classifier head; in open-set mode the known/open heads' kernels are
+        concatenated per branch so each dilation costs ONE conv producing all C+O
+        channels (the reference runs layer5 and layer5_1 separately and concatenates
+        outputs, deeplab_multi.py:182-190 — output-identical, half the conv calls)."""
+        in_ch = x.shape[-1]
+        ws, bs = aspp_branch_params(self, name, in_ch, self.num_classes)
+        if self.openset:
+            wso, bso = aspp_branch_params(self, f"{name}_1", in_ch, self.open_classes)
+            ws = [jnp.concatenate([w, wo], axis=-1) for w, wo in zip(ws, wso)]
+            bs = [jnp.concatenate([b, bo], axis=-1) for b, bo in zip(bs, bso)]
+        return aspp_apply(
+            x, ws, bs, effective_branches=self.aspp_effective_branches, dtype=self.dtype
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
@@ -50,37 +73,11 @@ class ResNetMulti(nn.Module):
         x = res_stage(x, 3, 256, self.layers[2], stride=1, dilation=2, train=train,
                       dtype=self.dtype)
 
-        x1 = ASPPHead(
-            self.num_classes,
-            effective_branches=self.aspp_effective_branches,
-            dtype=self.dtype,
-            name="layer5",
-        )(x)
-        if self.openset:
-            x1_1 = ASPPHead(
-                self.open_classes,
-                effective_branches=self.aspp_effective_branches,
-                dtype=self.dtype,
-                name="layer5_1",
-            )(x)
-            x1 = jnp.concatenate([x1, x1_1], axis=-1)
+        x1 = self._head(x, "layer5")
 
         x = res_stage(x, 4, 512, self.layers[3], stride=1, dilation=4, train=train,
                       dtype=self.dtype)
-        x2 = ASPPHead(
-            self.num_classes,
-            effective_branches=self.aspp_effective_branches,
-            dtype=self.dtype,
-            name="layer6",
-        )(x)
-        if self.openset:
-            x2_1 = ASPPHead(
-                self.open_classes,
-                effective_branches=self.aspp_effective_branches,
-                dtype=self.dtype,
-                name="layer6_1",
-            )(x)
-            x2 = jnp.concatenate([x2, x2_1], axis=-1)
+        x2 = self._head(x, "layer6")
 
         return x1.astype(jnp.float32), x2.astype(jnp.float32)
 
