@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+
+# Persistent compilation cache: the big train-step programs take minutes to compile;
+# reuse across test runs.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
