@@ -104,18 +104,31 @@ def evaluate(
     save_dir: Optional[str] = None,
     scales: Tuple[Tuple[int, int], ...] = EVAL_SCALES,
     out_hw: Tuple[int, int] = EVAL_OUT_HW,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> float:
-    """Run the full protocol; returns mIoU (percent, 2dp) like evaluate_cityscapes.py:162."""
+    """Run the full protocol; returns mIoU (percent, 2dp) like evaluate_cityscapes.py:162.
+
+    ``shard=(index, count)`` evaluates every count-th image starting at ``index`` and
+    sums the 19x19 histograms across processes before computing mIoU — the distributed
+    eval reduction the reference never had (SURVEY.md §5). Defaults to this process's
+    jax.process_index()/count when multiple processes are initialised.
+    """
     info = info or load_info()
     num_classes = int(info["classes"])
     names = info["label"]
     mapping = np.asarray(info["label2train"], np.int64)
+
+    if shard is None and jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
 
     loaders = []
     for crop_wh in scales:
         ds = SegDataset.cityscapes_eval(
             data_root, val_list, crop_wh=crop_wh, mean_bgr=IMG_MEAN_BGR, split="val"
         )
+        if shard is not None:
+            idx, count = shard
+            ds.samples = ds.samples[idx::count]
         loaders.append(
             Loader(ds, batch_size, shuffle=False, num_workers=4, drop_last=False,
                    loop=False)
@@ -177,6 +190,12 @@ def evaluate(
             for i, name in enumerate(batch["name"]):
                 out_name = os.path.basename(name)
                 save_pred_png(np.asarray(pred[i]), os.path.join(save_dir, out_name))
+
+    if shard is not None and jax.process_count() > 1:
+        # Sum per-process histograms over DCN; every host prints the global result.
+        from jax.experimental import multihost_utils
+
+        hist = jnp.sum(multihost_utils.process_allgather(hist), axis=0)
 
     hist_np = np.asarray(jax.device_get(hist), np.float64)
     ious = per_class_iu(hist_np)
