@@ -97,6 +97,8 @@ def train(
     max_steps: Optional[int] = None,
     resume: bool = False,
     profile_dir: Optional[str] = None,
+    plot_ntm_every: int = 0,
+    plot_ntm_dir: str = "ntm_vis",
 ) -> Dict:
     """Run one stage. ``eval_fn(model, variables) -> mIoU`` is injected (the real
     Cityscapes evaluator or a synthetic one). Returns summary dict."""
@@ -153,6 +155,27 @@ def train(
             jax.block_until_ready(metrics["lr"])
             print_fn(fmt(i_iter, cfg.num_steps, metrics))
             writer.write(i_iter, metrics)
+
+        if (
+            plot_ntm_every
+            and cfg.stage == "simt"
+            and i_iter % plot_ntm_every == 0
+        ):
+            # NTM heat-map dump (reference plot_NTM, trainV2_simt.py:187-200, whose
+            # invocation is commented out at :443-445 — here an opt-in flag).
+            from ..models import ntm as ntm_lib
+            from ..utils import plot_ntm
+
+            cd = jnp.asarray(ntm_lib.load_class_dist(cfg.simt.class_dist))
+            for tag, p in [("NTM1", state.t1.param), ("NTM2", state.t2.param)]:
+                t = ntm_lib.ntm_forward(
+                    p, cd, cfg.model.num_classes, cfg.model.open_classes
+                )
+                plot_ntm(
+                    jax.device_get(t),
+                    os.path.join(plot_ntm_dir, f"{tag}_{i_iter}.png"),
+                    title=f"{tag}_{i_iter}",
+                )
 
         if eval_fn is not None and i_iter % cfg.save_pred_every == 0 and i_iter != 0:
             now = datetime.datetime.now()

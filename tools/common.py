@@ -54,6 +54,10 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="model arch (reference MODEL choice, evaluate_cityscapes.py:38)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (SURVEY.md §5 sanitizer row)")
+    parser.add_argument("--plot-ntm-every", type=int, default=0,
+                        help="dump NTM heat-maps every N iters (reference plot_NTM, "
+                             "trainV2_simt.py:187-200)")
+    parser.add_argument("--plot-ntm-dir", type=str, default="ntm_vis")
     parser.add_argument("--synthetic", action="store_true",
                         help="run hermetically on a generated tiny dataset")
     parser.add_argument("--csv", type=str, default=None, help="metric CSV output path")

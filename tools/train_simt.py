@@ -72,7 +72,8 @@ def main():
             )
 
     summary = train(cfg, eval_fn=eval_fn, csv_path=args.csv,
-                    resume=args.resume, profile_dir=args.profile_dir)
+                    resume=args.resume, profile_dir=args.profile_dir,
+                    plot_ntm_every=args.plot_ntm_every, plot_ntm_dir=args.plot_ntm_dir)
     print(f"done: {summary['steps_per_sec']:.3f} steps/s, best mIoU {summary['best_miou']}")
 
 
