@@ -66,6 +66,36 @@ def max_pool_ceil(x: jax.Array, window: int, stride: int, padding: int) -> jax.A
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding=pads)
 
 
+def conv3x3_param(mod: nn.Module, scope_name: str, c_in: int, c_out: int) -> jax.Array:
+    """A bare 3x3 conv kernel param under a child scope (torch-compatible naming),
+    for use with the Pallas conv kernel."""
+
+    class _P(nn.Module):
+        @nn.compact
+        def __call__(self):
+            return self.param(
+                "kernel", nn.initializers.normal(stddev=0.01), (3, 3, c_in, c_out),
+                jnp.float32,
+            )
+
+    return _P(name=scope_name)()
+
+
+def use_pallas_conv(dilation: int = 1) -> bool:
+    """Whether bottleneck 3x3 convs use the Pallas implicit-GEMM kernel
+    (ops/pallas/conv3x3.py). Measured on v5e: the kernel beats XLA's conv lowering by
+    ~15-30% *in isolation* (62 vs 48 TFLOP/s at the layer3 geometry), but in the full
+    graph it LOSES ~20% end-to-end because pallas_call boundaries stop XLA from fusing
+    the surrounding BN/ReLU/residual elementwise work into the conv loops. Off by
+    default; set SIMT_PALLAS_CONV=1 to enable for dilated (layer3/4) convs on TPU.
+    Layer1/2's 64/128-channel tiles additionally hit a Mosaic layout-cast limitation."""
+    import os
+
+    if os.environ.get("SIMT_PALLAS_CONV") != "1":
+        return False
+    return dilation > 1 and jax.default_backend() == "tpu"
+
+
 class Bottleneck(nn.Module):
     """ResNet bottleneck with optional dilation (model/deeplab_multi.py:57-101).
 
@@ -87,14 +117,21 @@ class Bottleneck(nn.Module):
         out = conv(self.planes, (1, 1), stride=self.stride, name="conv1", dtype=self.dtype)(x)
         out = batch_norm(name="bn1", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
-        out = conv(
-            self.planes,
-            (3, 3),
-            padding=self.dilation,
-            dilation=self.dilation,
-            name="conv2",
-            dtype=self.dtype,
-        )(out)
+        w2 = conv3x3_param(self, "conv2", self.planes, self.planes)
+        if use_pallas_conv(self.dilation):
+            from ..ops.pallas.conv3x3 import dilated_conv3x3
+
+            out = dilated_conv3x3(out.astype(self.dtype), w2.astype(self.dtype),
+                                  self.dilation)
+        else:
+            out = jax.lax.conv_general_dilated(
+                out.astype(self.dtype),
+                w2.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((self.dilation, self.dilation),) * 2,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
         out = conv(self.planes * 4, (1, 1), name="conv3", dtype=self.dtype)(out)
