@@ -22,7 +22,7 @@ def _enable_compilation_cache():
     import jax
 
     d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", jax.default_backend()
     )
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
@@ -51,9 +51,15 @@ def main():
     hw = (512, 1024)  # reference training geometry (INPUT_SIZE_TARGET '1024,512')
     batch_size = 1
 
+    # Initialise on the host CPU backend (the TPU-tunnel init costs ~2 minutes),
+    # then transfer once.
     init_x = jnp.zeros((batch_size, *hw, 3), jnp.float32)
-    sv = student.init(jax.random.PRNGKey(0), init_x, False)
-    tv = teacher.init(jax.random.PRNGKey(1), init_x, False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        sv = student.init(jax.random.PRNGKey(0), init_x, False)
+        tv = teacher.init(jax.random.PRNGKey(1), init_x, False)
+    device = jax.devices()[0]
+    sv = jax.device_put(sv, device)
+    tv = jax.device_put(tv, device)
     state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
     step = make_simt_step(student, teacher, cfg)
 

@@ -75,7 +75,8 @@ def enable_compilation_cache() -> None:
     import jax
 
     d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache",
+        jax.default_backend(),
     )
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
