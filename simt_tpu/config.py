@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 # BGR mean, matching IMG_MEAN in tools/trainV1_warmup.py:33 and trainV2_simt.py:34.
 IMG_MEAN_BGR: Tuple[float, float, float] = (104.00698793, 116.66876762, 122.67891434)

@@ -13,7 +13,7 @@ Unlike the DeepLabv2 trunk, BN here follows torchvision semantics: affine params
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

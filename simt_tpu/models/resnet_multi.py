@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from .layers import (
-    ASPPHead,
     aspp_apply,
     aspp_branch_params,
     batch_norm,

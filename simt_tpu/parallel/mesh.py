@@ -17,7 +17,7 @@ composes with the same mesh (see ``initialize_multihost``).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -20,7 +20,7 @@ The torch-vs-optax matching notes:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import flax.struct
 import jax

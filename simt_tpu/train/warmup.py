@@ -8,7 +8,6 @@ the warmup 1x/10x split.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -11,7 +11,6 @@ Hermetic smoke run:
 """
 
 import argparse
-import functools
 import tempfile
 
 from common import add_common_args, apply_platform, build_config, setup_synthetic
@@ -24,7 +23,6 @@ def main():
     apply_platform(args)
     cfg = build_config(args, stage="simt")
 
-    from simt_tpu.config import ASSETS_DIR
     from simt_tpu.eval import evaluate
     from simt_tpu.train.loop import train
 
