@@ -140,7 +140,7 @@ def import_state_dict(
                 new_flat[path] = cur
                 continue
             raise ValueError(f"shape mismatch for {key}: {val.shape} vs {np.shape(cur)}")
-        new_flat[path] = jax.numpy.asarray(val, dtype=np.asarray(cur).dtype)
+        new_flat[path] = jax.numpy.asarray(val, dtype=cur.dtype)
         report["loaded"].append(key)
         used.add(key)
     unused = [k for k in sd if k not in used and not k.endswith("num_batches_tracked")]
