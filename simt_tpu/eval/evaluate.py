@@ -48,16 +48,20 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
     ``hist_update``: running histogram accumulation.
     """
 
+    def _head2(variables, image):
+        """Head-2 logits; DeepLabv3 returns a single map (deeplabv3.py:129-138)."""
+        out = model.apply(variables, image, False)
+        return out[1] if isinstance(out, tuple) else out
+
     @jax.jit
     def predict(variables, image, image_640):
-        _, out2 = model.apply(variables, image, False)
         logits = upsample_bilinear_align_corners(
-            out2[..., :num_classes].astype(jnp.float32), out_hw
+            _head2(variables, image)[..., :num_classes].astype(jnp.float32), out_hw
         )
         if mode == "simt":
-            _, out2b = model.apply(variables, image_640, False)
             logits = logits + upsample_bilinear_align_corners(
-                out2b[..., :num_classes].astype(jnp.float32), out_hw
+                _head2(variables, image_640)[..., :num_classes].astype(jnp.float32),
+                out_hw,
             )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
@@ -65,11 +69,9 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
     def predict_hist(variables, image, image_640, gt):
         from ..ops.pallas import multiscale_argmax_hist
 
-        _, out2 = model.apply(variables, image, False)
-        a = out2[..., :num_classes].astype(jnp.float32)
+        a = _head2(variables, image)[..., :num_classes].astype(jnp.float32)
         if mode == "simt":
-            _, out2b = model.apply(variables, image_640, False)
-            b = out2b[..., :num_classes].astype(jnp.float32)
+            b = _head2(variables, image_640)[..., :num_classes].astype(jnp.float32)
         else:
             # Warmup eval is single-scale (evaluate_cityscapes.py:196-197); a constant-0
             # second operand leaves the argmax unchanged.
