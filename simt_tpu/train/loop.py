@@ -103,6 +103,11 @@ def train(
     """Run one stage. ``eval_fn(model, variables) -> mIoU`` is injected (the real
     Cityscapes evaluator or a synthetic one). Returns summary dict."""
     print_fn("Start: " + time.asctime(time.localtime(time.time())))
+    if cfg.model.arch == "deeplabv3":
+        # The reference never trains this variant in the SimT branch (SURVEY.md §2.1);
+        # it is an eval model here. Train support would need its own output shape and
+        # optimizer partition (deeplabv3.py:140-166).
+        raise ValueError("training the 'deeplabv3' arch is not supported (eval-only)")
     student, teacher = build_models(cfg)
     hw = (cfg.data.crop_size[1], cfg.data.crop_size[0])  # (h, w) from (w, h)
 

@@ -56,11 +56,11 @@ def create_simt_state(model_vars, teacher_vars, cfg, rng) -> state_lib.SimTState
     return state_lib.SimTState(
         model=state_lib.ModelState(
             params=model_vars["params"],
-            batch_stats=model_vars["batch_stats"],
+            batch_stats=model_vars.get("batch_stats", {}),
             opt_state=init_model(model_vars["params"]),
         ),
         teacher_params=teacher_vars["params"],
-        teacher_batch_stats=teacher_vars["batch_stats"],
+        teacher_batch_stats=teacher_vars.get("batch_stats", {}),
         t1=state_lib.NTMState(t1, adam_init(t1)),
         t2=state_lib.NTMState(t2, adam_init(t2)),
         w1=state_lib.NTMState(w1, adam_init(w1)),
@@ -236,7 +236,7 @@ def make_simt_step(model, teacher_model, cfg):
                 "anchor": anchor,
                 "place": place,
             }
-            return loss, (metrics, mutated["batch_stats"])
+            return loss, (metrics, mutated.get("batch_stats", {}))
 
         grads = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
         (g_train, g_t1, g_t2), (metrics, new_stats) = grads(

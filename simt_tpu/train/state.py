@@ -46,16 +46,20 @@ def param_label(path: Tuple[str, ...], *, warmup: bool, aspp_effective_branches:
     # BN affine params are frozen everywhere (requires_grad=False in the reference).
     if leaf in ("scale",) or (leaf == "bias" and any(p.startswith("bn") or p.endswith("_bn") for p in path[:-1])):
         return LABEL_FROZEN
-    if top in _HEAD_PREFIXES or any(top == p for p in _HEAD_PREFIXES):
-        # Unused ASPP branches never receive grads in torch -> frozen.
-        if leaf.startswith("branch"):
-            branch = int(leaf.split("_")[0][len("branch"):])
-            if branch >= aspp_effective_branches:
-                return LABEL_FROZEN
+    # Unused ASPP branches never receive grads in torch (so no wd either) -> frozen,
+    # wherever the head lives (layer5/layer6 or the VGG 'classifier').
+    if leaf.startswith("branch"):
+        branch = int(leaf.split("_")[0][len("branch"):])
+        if branch >= aspp_effective_branches:
+            return LABEL_FROZEN
+    if top in _HEAD_PREFIXES:
         return LABEL_10X
+    if top == "classifier":
+        # DeeplabVGG trains everything in one base-LR group (deeplab_vgg.py:53-54).
+        return LABEL_1X
     if any(top.startswith(p) for p in _WARMUP_ONLY_PREFIXES):
         return LABEL_1X if warmup else LABEL_FROZEN
-    return LABEL_1X  # layer3 / layer4 backbone
+    return LABEL_1X  # layer3 / layer4 backbone (and VGG features)
 
 
 def partition_params(params, *, warmup: bool, aspp_effective_branches: int = 2):

@@ -29,7 +29,7 @@ def create_warmup_state(model, variables, cfg) -> state_lib.WarmupState:
     return state_lib.WarmupState(
         model=state_lib.ModelState(
             params=variables["params"],
-            batch_stats=variables["batch_stats"],
+            batch_stats=variables.get("batch_stats", {}),
             opt_state=init_fn(variables["params"]),
         ),
         step=jnp.zeros((), jnp.int32),
@@ -63,7 +63,7 @@ def make_warmup_step(model, cfg):
             # Streamed upsample+CE (trainV1_warmup.py:219-224 semantics, flash-style).
             l1 = upsample_ce(x1, label, ignore_label=ignore)
             l2 = upsample_ce(x2, label, ignore_label=ignore)
-            return l2 + lambda_seg * l1, (l1, l2, mutated["batch_stats"])
+            return l2 + lambda_seg * l1, (l1, l2, mutated.get("batch_stats", {}))
 
         grads, (l1, l2, new_stats) = jax.grad(loss_fn, has_aux=True)(st.model.params)
         # Data-parallel gradient sync happens automatically under pjit sharding; no

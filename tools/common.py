@@ -129,6 +129,9 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
         model = dataclasses.replace(model, compute_dtype=args.compute_dtype)
     if args.model is not None:
         model = dataclasses.replace(model, arch=args.model)
+    if model.arch == "deeplab_single":
+        # Res_Deeplab's head sums all four ASPP branches (deeplab.py:112-116).
+        model = dataclasses.replace(model, aspp_effective_branches=4)
     model = dataclasses.replace(model, openset=stage == "simt")
 
     data = cfg.data
