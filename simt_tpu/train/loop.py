@@ -69,6 +69,9 @@ def build_models(cfg: TrainConfig):
 
 def build_loader(cfg: TrainConfig, root: Optional[str] = None,
                  list_path: Optional[str] = None) -> Iterator[Dict]:
+    from ..data import pipeline as pipeline_lib
+
+    pipeline_lib.USE_NATIVE = cfg.data.use_native_preproc
     ds = SegDataset.cityscapes_pseudo(
         root or cfg.data.root,
         list_path or cfg.data.list_path,
