@@ -65,3 +65,18 @@ def test_sharded_simt_train_step(tmp_path):
         assert np.isfinite(b), k
         assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (k, a, b)
     assert int(new_state.step) == 1
+
+    # Pure spatial sharding (1x8): batch-1 training sharded over image height only —
+    # the configuration a single-image-per-step reference run would scale with.
+    mesh_sp = make_mesh(data=1, spatial=8)
+    raw1 = synthetic.synthetic_batch(batch_size=1, hw=tt.HW, num_classes=tt.C, seed=1)
+    batch1 = shard_batch(
+        {"image": jnp.asarray(raw1["image"]), "label": jnp.asarray(raw1["label"])},
+        mesh_sp,
+    )
+    _, m1s = step(state, batch1)
+    _, m1 = step(state, {"image": jnp.asarray(raw1["image"]),
+                         "label": jnp.asarray(raw1["label"])})
+    assert abs(float(m1s["loss"]) - float(m1["loss"])) < 1e-3 * max(
+        1.0, abs(float(m1["loss"]))
+    )
