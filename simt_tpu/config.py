@@ -85,6 +85,10 @@ class SimTConfig:
     inner_w_steps: int = 10  # inner W-optimisation loop count (trainV2_simt.py:327)
     # Class-distribution prior for sig_NTM (deeplab_multi.py:255).
     class_dist: str = "bapa"
+    # Cache the frozen teacher's per-image posterior instead of recomputing it every
+    # step like the reference (train/teacher_cache.py). Off by default: cached entries
+    # are float16-rounded, so this is throughput-for-exactness opt-in.
+    cache_teacher: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

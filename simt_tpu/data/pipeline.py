@@ -177,7 +177,7 @@ class SegDataset:
                 label = remap_gta5_ids(label)
             if mirror:
                 label = label[:, ::-1]
-        out = {"image": np.ascontiguousarray(image), "name": s.name}
+        out = {"image": np.ascontiguousarray(image), "name": s.name, "mirror": mirror}
         if label is not None:
             out["label"] = np.ascontiguousarray(label)
         return out
@@ -261,6 +261,7 @@ class Loader:
                 if "label" in items[0]:
                     batch["label"] = np.stack([it["label"] for it in items])
                 batch["name"] = [it["name"] for it in items]
+                batch["mirror"] = [it.get("mirror", False) for it in items]
                 yield batch
         finally:
             stop.set()

@@ -144,6 +144,13 @@ def train(
     if batch_iter is None:
         batch_iter = build_loader(cfg)
 
+    if cfg.stage == "simt" and cfg.simt.cache_teacher:
+        from .teacher_cache import TeacherCache
+
+        cache = TeacherCache(teacher, state.teacher_params, state.teacher_batch_stats)
+        batch_iter = cache.wrap(batch_iter)
+        print_fn("teacher cache enabled (float16 posteriors, skips teacher forward)")
+
     writer = MetricWriter(csv_path)
     timer = StepTimer()
     best_miou, best_step = 0.0, 0
@@ -155,7 +162,8 @@ def train(
 
     for i_iter in range(start_step, stop_at):
         batch = next(batch_iter)
-        batch = {k: v for k, v in batch.items() if k in ("image", "label")}
+        batch = {k: v for k, v in batch.items()
+                 if k in ("image", "label", "teacher_prob8")}
         state, metrics = step_fn(state, batch)
         timer.tick()
 

@@ -174,14 +174,21 @@ def make_simt_step(model, teacher_model, cfg):
         w2_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w2.param))
 
         # ------- teacher pseudo-labels (:351-362), fully on device -------
-        _, teach2 = teacher_model.apply(
-            {"params": st.teacher_params, "batch_stats": st.teacher_batch_stats},
-            image,
-            False,
-        )
-        # Softmax at stride 8 — reference order (:354); the upsample + thresholding
-        # happen inside the streamed loss block.
-        teacher_prob8 = jax.nn.softmax(teach2.astype(jnp.float32), axis=-1)
+        if "teacher_prob8" in batch:
+            # Cached teacher posterior (train/teacher_cache.py): the teacher is frozen
+            # and deterministic per (image, mirror), so recomputing it every step —
+            # as the reference does (:351-353) — is redundant across epochs. The jit
+            # specialises on the batch structure, so both variants coexist.
+            teacher_prob8 = batch["teacher_prob8"].astype(jnp.float32)
+        else:
+            _, teach2 = teacher_model.apply(
+                {"params": st.teacher_params, "batch_stats": st.teacher_batch_stats},
+                image,
+                False,
+            )
+            # Softmax at stride 8 — reference order (:354); the upsample + thresholding
+            # happen inside the streamed loss block.
+            teacher_prob8 = jax.nn.softmax(teach2.astype(jnp.float32), axis=-1)
 
         # ------- student forward + composite loss (:370-424) -------
         train_params, frozen_params = split_params(st.model.params)

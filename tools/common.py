@@ -58,6 +58,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="dump NTM heat-maps every N iters (reference plot_NTM, "
                              "trainV2_simt.py:187-200)")
     parser.add_argument("--plot-ntm-dir", type=str, default="ntm_vis")
+    parser.add_argument("--cache-teacher", action="store_true",
+                        help="cache the frozen teacher's per-image posterior "
+                             "(float16; skips the per-step teacher forward)")
     parser.add_argument("--synthetic", action="store_true",
                         help="run hermetically on a generated tiny dataset")
     parser.add_argument("--csv", type=str, default=None, help="metric CSV output path")
@@ -119,6 +122,8 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
         v = getattr(args, cli)
         if v is not None:
             simt = dataclasses.replace(simt, **{field: v})
+    if getattr(args, "cache_teacher", False):
+        simt = dataclasses.replace(simt, cache_teacher=True)
 
     model = cfg.model
     if args.num_classes is not None:
