@@ -68,11 +68,17 @@ def build_models(cfg: TrainConfig):
 
 
 def build_loader(cfg: TrainConfig, root: Optional[str] = None,
-                 list_path: Optional[str] = None) -> Iterator[Dict]:
+                 list_path: Optional[str] = None,
+                 source: str = "cityscapes_pseudo") -> Iterator[Dict]:
     from ..data import pipeline as pipeline_lib
 
     pipeline_lib.USE_NATIVE = cfg.data.use_native_preproc
-    ds = SegDataset.cityscapes_pseudo(
+    factory = {
+        "cityscapes_pseudo": SegDataset.cityscapes_pseudo,  # the trained configuration
+        "gta5": SegDataset.gta5,  # source-domain capability (gta5_dataset.py; the
+        # reference imports it in both trainers but never instantiates it)
+    }[source]
+    ds = factory(
         root or cfg.data.root,
         list_path or cfg.data.list_path,
         crop_wh=cfg.data.crop_size,
