@@ -69,6 +69,9 @@ class OptimConfig:
     weight_decay: float = 5e-4  # WEIGHT_DECAY :59
     power: float = 0.9  # POWER :54
     num_steps: int = 250_000  # NUM_STEPS :52 (schedule horizon)
+    # Gradient accumulation: sub-batches per optimizer step, each loss scaled by
+    # 1/iter_size (ITER_SIZE trainV2_simt.py:38,85-86; sub-loop :345,:426-436).
+    iter_size: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,7 +163,9 @@ def preset(name: str) -> TrainConfig:
             stage="simt",
             model=ModelConfig(openset=True),
             optim=dataclasses.replace(base.optim, learning_rate=2.5e-4, learning_rate_t=2.5e-3),
-            simt=dataclasses.replace(base.simt, class_dist="sfdaseg"),
+            # sig_NTM hardcodes ClassDist_bapa.npy for ALL runs, including the
+            # published SFDA log (deeplab_multi.py:255) — keep 'bapa' here too.
+            simt=dataclasses.replace(base.simt, class_dist="bapa"),
             data=dataclasses.replace(
                 base.data, list_path=os.path.join(lists, "pseudo_sfdaseg.lst")
             ),

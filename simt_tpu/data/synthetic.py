@@ -27,7 +27,12 @@ def make_cityscapes_fixture(
       <root>/train/<city>/*_leftImg8bit.png     training images
       <root>/pseudo/*_leftImg8bit.png           pseudo-label trainid PNGs
       <root>/val/<city>/*_leftImg8bit.png       val images
-      <root>/label/*_gtFine_labelIds.png        val gt in *labelId* (0..33) encoding
+      <root>/label/<city>/*_gtFine_labelIds.png val gt in *labelId* (0..33) encoding,
+                                                nested under the city subdir exactly
+                                                like the real Cityscapes layout (the
+                                                val lists carry 'frankfurt/...' paths
+                                                that evaluate_cityscapes.py:141 and
+                                                the shipped label.txt preserve)
       <root>/lists/pseudo.lst, val.txt
 
     Returns paths dict. Val gt uses raw label ids so the eval path exercises the
@@ -52,7 +57,7 @@ def make_cityscapes_fixture(
         "val_txt": os.path.join(root, "lists", "val.txt"),
         "gt_dir": os.path.join(root, "label"),
     }
-    for sub in ["train/city", "pseudo", "val/city", "label", "lists"]:
+    for sub in ["train/city", "pseudo", "val/city", "label/city", "lists"]:
         os.makedirs(os.path.join(root, sub), exist_ok=True)
 
     rows = []
@@ -75,7 +80,9 @@ def make_cityscapes_fixture(
         label_ids = np.vectorize(lambda t: train2label[int(t)])(train_ids).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(root, "val/city", name))
         gt_name = name.split("leftImg8bit")[0] + "gtFine_labelIds.png"
-        Image.fromarray(label_ids, mode="L").save(os.path.join(root, "label", gt_name))
+        Image.fromarray(label_ids, mode="L").save(
+            os.path.join(root, "label", "city", gt_name)
+        )
         val_names.append(f"city/{name}")
     with open(paths["val_txt"], "w") as f:
         f.write("\n".join(val_names) + "\n")

@@ -107,6 +107,7 @@ def evaluate(
     scales: Tuple[Tuple[int, int], ...] = EVAL_SCALES,
     out_hw: Tuple[int, int] = EVAL_OUT_HW,
     shard: Optional[Tuple[int, int]] = None,
+    return_hist: bool = False,
 ) -> float:
     """Run the full protocol; returns mIoU (percent, 2dp) like evaluate_cityscapes.py:162.
 
@@ -146,8 +147,11 @@ def evaluate(
     def load_gt(name: str) -> np.ndarray:
         from PIL import Image
 
+        # Keep the full relative name (val lists carry 'frankfurt/...' city subdirs,
+        # which the reference preserves — evaluate_cityscapes.py:141 — and the shipped
+        # label.txt / tools/compute_iou.py expect too).
         gt_name = name.split("leftImg8bit")[0] + "gtFine_labelIds.png"
-        gt = np.asarray(Image.open(os.path.join(gt_dir, os.path.basename(gt_name))))
+        gt = np.asarray(Image.open(os.path.join(gt_dir, gt_name)))
         return label_mapping(gt, mapping)
 
     pool = ThreadPoolExecutor(max_workers=4)
@@ -205,6 +209,10 @@ def evaluate(
         print_fn("===>" + names[i] + ":\t" + str(round(ious[i] * 100, 2)))
     miou = mean_iou(hist_np)
     print_fn("===> mIoU: " + str(miou))
+    if return_hist:
+        # Expose the (possibly per-shard) 19x19 histogram so callers/tests can verify
+        # the distributed reduction: sum of shard histograms == full-set histogram.
+        return miou, hist_np
     return miou
 
 

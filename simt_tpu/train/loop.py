@@ -67,9 +67,23 @@ def build_models(cfg: TrainConfig):
     return deeplab_multi(cfg.model.num_classes, dtype=dtype, aspp_effective_branches=eff), None
 
 
+def build_mesh(cfg: TrainConfig):
+    """Build the (data, spatial) device mesh from ``cfg.mesh``, or None when both
+    degrees are 1 (single-device, the reference's only mode — SURVEY.md §2.5).
+
+    ``DataConfig.batch_size`` is per-data-shard: the loader's global batch is
+    ``batch_size * data_axis``, so the reference's bs=1 configs scale to DP unchanged."""
+    if cfg.mesh.data_axis * cfg.mesh.spatial_axis <= 1:
+        return None
+    from ..parallel import make_mesh
+
+    return make_mesh(data=cfg.mesh.data_axis, spatial=cfg.mesh.spatial_axis)
+
+
 def build_loader(cfg: TrainConfig, root: Optional[str] = None,
                  list_path: Optional[str] = None,
-                 source: str = "cityscapes_pseudo") -> Iterator[Dict]:
+                 source: str = "cityscapes_pseudo",
+                 sharding=None, batch_size: Optional[int] = None) -> Iterator[Dict]:
     from ..data import pipeline as pipeline_lib
 
     pipeline_lib.USE_NATIVE = cfg.data.use_native_preproc
@@ -87,13 +101,13 @@ def build_loader(cfg: TrainConfig, root: Optional[str] = None,
     )
     loader = Loader(
         ds,
-        cfg.data.batch_size,
+        batch_size or cfg.data.batch_size,
         shuffle=True,
         seed=cfg.random_seed,
         num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch,
     )
-    return device_prefetch(iter(loader), size=cfg.data.prefetch)
+    return device_prefetch(iter(loader), size=cfg.data.prefetch, sharding=sharding)
 
 
 def train(
@@ -147,8 +161,36 @@ def train(
         state = ckpt_lib.restore(state, cfg.snapshot_dir)
         print_fn(f"resumed from step {int(state.step)}")
 
+    # Device mesh (cfg.mesh): replicate the train state, shard batches over
+    # (data=batch, spatial=image height). Single-device when both degrees are 1.
+    mesh = build_mesh(cfg)
+    batch_shard = None
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicate_state
+
+        state = replicate_state(state, mesh)
+        batch_shard = batch_sharding(mesh)
+        print_fn(
+            f"mesh: data={cfg.mesh.data_axis} spatial={cfg.mesh.spatial_axis} "
+            f"over {mesh.devices.size} devices"
+        )
+
     if batch_iter is None:
-        batch_iter = build_loader(cfg)
+        batch_iter = build_loader(
+            cfg, sharding=batch_shard,
+            batch_size=cfg.data.batch_size * cfg.mesh.data_axis,
+        )
+    elif batch_shard is not None:
+        # Injected iterators (tests, synthetic runs) get the same placement.
+        def _sharded(it, sh):
+            for b in it:
+                yield {
+                    k: jax.device_put(v, sh) if hasattr(v, "ndim") and v.ndim >= 2
+                    else v
+                    for k, v in b.items()
+                }
+
+        batch_iter = _sharded(batch_iter, batch_shard)
 
     if cfg.stage == "simt" and cfg.simt.cache_teacher:
         from .teacher_cache import TeacherCache
@@ -166,10 +208,30 @@ def train(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    iter_size = cfg.optim.iter_size
+    step_keys = ("image", "label", "teacher_prob8")
     for i_iter in range(start_step, stop_at):
-        batch = next(batch_iter)
-        batch = {k: v for k, v in batch.items()
-                 if k in ("image", "label", "teacher_prob8")}
+        if iter_size == 1:
+            batch = next(batch_iter)
+            batch = {k: v for k, v in batch.items() if k in step_keys}
+        else:
+            # Gradient accumulation (trainV2_simt.py:345): iter_size loader batches
+            # per optimizer step, stacked on a leading axis for the jitted sub-loop.
+            subs = [next(batch_iter) for _ in range(iter_size)]
+            batch = {
+                k: jnp.stack([s[k] for s in subs])
+                for k in subs[0] if k in step_keys
+            }
+            if mesh is not None:
+                # Leading axis is the sub-batch index: shard (batch, height) on
+                # dims 1/2 instead of 0/1.
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import DATA_AXIS, SPATIAL_AXIS
+
+                sh = NamedSharding(
+                    mesh, PartitionSpec(None, DATA_AXIS, SPATIAL_AXIS)
+                )
+                batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
         timer.tick()
 

@@ -4,8 +4,15 @@ Re-implements the reference's core entry point (tools/trainV2_simt.py:307-436) a
 jitted ``train_step`` containing everything the reference does per iteration:
 
   - the 10-step inner Adam loop optimising W1/W2 against MSE(W @ T, 0) (:327-339), as a
-    ``lax.fori_loop`` (T is recomputed outside — the NTM params do not change within the
-    inner loop, so the reference's ``retain_graph=True`` recomputation is value-identical);
+    ``lax.fori_loop``. The reference's ``NTM_loss.backward(retain_graph=True)`` also
+    deposits d/dT MSE(W_i @ T, 0) into the NTM parameters' ``.grad`` on every inner
+    iteration — ``optimizer_t1.zero_grad()`` runs only once per *outer* iteration
+    (:317) while the inner loop never clears the T grads — so ``optimizer_t1.step()``
+    (:435) applies the SUM of the 10 inner W-objective T-gradients plus the main-loss
+    T-gradient. This quirk dominates the T update (~100x the main-loss T-grad) and is
+    reproduced here exactly: the fori_loop carry accumulates the T-gradients of the W
+    objective at each inner step, and they are added to the main-loss T-grads before
+    the single Adam update;
   - frozen-teacher pseudo-labelling with the two-threshold scheme: argmax where
     max-prob > 0.8, class-C "unknown" where < 0.2, else 255-ignore (:351-362) — without
     the reference's GPU->CPU->GPU round trip at :362;
@@ -18,7 +25,11 @@ jitted ``train_step`` containing everything the reference does per iteration:
   - convex (-MSE(W@T,0)) and guarded volume losses (:412-421);
   - composite loss (:423-424) and the three optimizer families: model SGD (1x/10x poly),
     T1/T2 Adam (W1/W2 were stepped in the inner loop; their grads from the main loss are
-    discarded, exactly like the reference's zero_grad at the top of the next iteration).
+    discarded, exactly like the reference's zero_grad at the top of the next iteration);
+  - ``iter_size`` gradient accumulation (:85-86, :345, :426-436): the main loss is
+    evaluated on ``iter_size`` sub-batches, each contribution scaled by 1/iter_size,
+    with ONE model/T optimizer step after the sub-loop (the teacher pseudo-labelling
+    runs per sub-batch; the W inner loop runs once per outer iteration, before it).
 """
 
 from __future__ import annotations
@@ -69,16 +80,21 @@ def create_simt_state(model_vars, teacher_vars, cfg, rng) -> state_lib.SimTState
     )
 
 
-def _guarded_volume(t: jax.Array) -> jax.Array:
-    """Volume loss with the reference's non-finite->0 guard (trainV2_simt.py:420-421),
-    implemented with the double-where pattern so the backward pass through a singular
+def _guarded_volume(t1: jax.Array, t2: jax.Array) -> jax.Array:
+    """Volume loss with the reference's non-finite->0 guard. The guard tests the SUM
+    of both heads' volumes (trainV2_simt.py:417-421: the two log-dets are added first,
+    then `if isinf or isnan: = 0.`), so one non-finite head zeroes BOTH contributions.
+    Implemented with the double-where pattern so the backward pass through a singular
     Gram matrix cannot poison gradients with NaN."""
-    raw = volume_loss(jax.lax.stop_gradient(t))
+    raw = volume_loss(jax.lax.stop_gradient(t1)) + volume_loss(
+        jax.lax.stop_gradient(t2)
+    )
     ok = jnp.isfinite(raw)
     # Safe substitute: the identity-prior matrix (full rank by construction).
-    safe_sub = jnp.zeros_like(t).at[: t.shape[1], :].set(jnp.eye(t.shape[1]))
-    t_safe = jnp.where(ok, t, safe_sub)
-    return jnp.where(ok, volume_loss(t_safe), 0.0)
+    safe_sub = jnp.zeros_like(t1).at[: t1.shape[1], :].set(jnp.eye(t1.shape[1]))
+    t1_safe = jnp.where(ok, t1, safe_sub)
+    t2_safe = jnp.where(ok, t2, safe_sub)
+    return jnp.where(ok, volume_loss(t1_safe) + volume_loss(t2_safe), 0.0)
 
 
 def _anchor_loss(pred_flat: jax.Array, t: jax.Array, teacher_flat: jax.Array) -> jax.Array:
@@ -138,117 +154,163 @@ def make_simt_step(model, teacher_model, cfg):
     def merge_params(train, frozen):
         return traverse_util.unflatten_dict({**train, **frozen})
 
+    iter_size = cfg.optim.iter_size
+
     @jax.jit
     def train_step(
         st: state_lib.SimTState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.SimTState, Dict[str, jax.Array]]:
-        image, label = batch["image"], batch["label"]
         lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)
         lr_t = poly_lr(
             cfg.optim.learning_rate_t, st.step, cfg.optim.num_steps, cfg.optim.power
         )
 
         # ------- inner loop: optimise W1/W2 against the current T1/T2 (:327-339) -------
-        t1_fixed = ntm_fwd(st.t1.param)
-        t2_fixed = ntm_fwd(st.t2.param)
-
-        def w_objective(w1p, w2p):
+        def w_objective(w1p, w2p, t1p, t2p):
             w1m = ntm_lib.w_forward(w1p)
             w2m = ntm_lib.w_forward(w2p)
-            return mse_sum(w1m @ t1_fixed, jnp.zeros((total, c))) + mse_sum(
-                w2m @ t2_fixed, jnp.zeros((total, c))
+            return mse_sum(w1m @ ntm_fwd(t1p), jnp.zeros((total, c))) + mse_sum(
+                w2m @ ntm_fwd(t2p), jnp.zeros((total, c))
             )
 
         def w_body(_, carry):
-            w1, w2 = carry
-            g1, g2 = jax.grad(w_objective, argnums=(0, 1))(w1.param, w2.param)
+            # The W params advance each inner step; the T params do not, but their
+            # gradients through MSE(W_i @ T, 0) accumulate into gt1/gt2 — the
+            # reference's never-cleared ``.grad`` buffers (:317,:337,:435).
+            w1, w2, gt1, gt2 = carry
+            g1, g2, g3, g4 = jax.grad(w_objective, argnums=(0, 1, 2, 3))(
+                w1.param, w2.param, st.t1.param, st.t2.param
+            )
             u1, s1 = adam_update(g1, w1.opt_state, w1.param, lr_t)
             u2, s2 = adam_update(g2, w2.opt_state, w2.param, lr_t)
             return (
                 state_lib.NTMState(optax.apply_updates(w1.param, u1), s1),
                 state_lib.NTMState(optax.apply_updates(w2.param, u2), s2),
+                gt1 + g3,
+                gt2 + g4,
             )
 
-        w1, w2 = jax.lax.fori_loop(0, s.inner_w_steps, w_body, (st.w1, st.w2))
+        zt = jnp.zeros((total, c), jnp.float32)
+        w1, w2, g_t1_inner, g_t2_inner = jax.lax.fori_loop(
+            0, s.inner_w_steps, w_body, (st.w1, st.w2, zt, zt)
+        )
         w1_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w1.param))
         w2_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w2.param))
 
-        # ------- teacher pseudo-labels (:351-362), fully on device -------
-        if "teacher_prob8" in batch:
-            # Cached teacher posterior (train/teacher_cache.py): the teacher is frozen
-            # and deterministic per (image, mirror), so recomputing it every step —
-            # as the reference does (:351-353) — is redundant across epochs. The jit
-            # specialises on the batch structure, so both variants coexist.
-            teacher_prob8 = batch["teacher_prob8"].astype(jnp.float32)
-        else:
-            _, teach2 = teacher_model.apply(
-                {"params": st.teacher_params, "batch_stats": st.teacher_batch_stats},
-                image,
-                False,
-            )
-            # Softmax at stride 8 — reference order (:354); the upsample + thresholding
-            # happen inside the streamed loss block.
-            teacher_prob8 = jax.nn.softmax(teach2.astype(jnp.float32), axis=-1)
-
-        # ------- student forward + composite loss (:370-424) -------
         train_params, frozen_params = split_params(st.model.params)
 
-        def loss_fn(tparams, t1p, t2p):
-            t1m = ntm_fwd(t1p)
-            t2m = ntm_fwd(t2p)
-            (x1, x2), mutated = model.apply(
-                {"params": merge_params(tparams, frozen_params),
-                 "batch_stats": st.model.batch_stats},
-                image,
-                True,
-                mutable=["batch_stats"],
-            )
-            # All full-resolution losses — anchor (:374-384), class-posterior
-            # refinement + CE (:387-395), placeholder (:398-399), noisy posterior
-            # (:402-409) — in one streamed pass (ops/fused_losses.py).
-            losses = simt_loss_block(
-                x1, x2, teacher_prob8, label, t1m, t2m,
-                num_classes=c, open_classes=o,
-                threshold_high=s.threshold_high, threshold_low=s.threshold_low,
-                lambda_place=s.lambda_place, lambda_seg=s.lambda_seg,
-                ignore_label=ignore,
-            )
-            loss_p1, loss_p2 = losses["loss_p1"], losses["loss_p2"]
-            loss_y1, loss_y2 = losses["loss_y1"], losses["loss_y2"]
-            place, anchor = losses["place"], losses["anchor"]
+        def one_subbatch(sub, batch_stats):
+            """Teacher labelling + student forward + composite loss + grads for ONE
+            sub-batch (the body of the reference's ``for sub_i in range(iter_size)``
+            loop, :345-428). Returns grads (train, t1, t2), metrics, new batch_stats."""
+            image, label = sub["image"], sub["label"]
 
-            # Convex loss (:412-415): push T away from the other rows' convex hull.
-            convex = -(
-                mse_sum(w1_mat @ t1m, jnp.zeros((total, c)))
-                + mse_sum(w2_mat @ t2m, jnp.zeros((total, c)))
+            # ------- teacher pseudo-labels (:351-362), fully on device -------
+            if "teacher_prob8" in sub:
+                # Cached teacher posterior (train/teacher_cache.py): the teacher is
+                # frozen and deterministic per (image, mirror), so recomputing it every
+                # step — as the reference does (:351-353) — is redundant across epochs.
+                # The jit specialises on the batch structure, so both variants coexist.
+                teacher_prob8 = sub["teacher_prob8"].astype(jnp.float32)
+            else:
+                _, teach2 = teacher_model.apply(
+                    {"params": st.teacher_params,
+                     "batch_stats": st.teacher_batch_stats},
+                    image,
+                    False,
+                )
+                # Softmax at stride 8 — reference order (:354); the upsample +
+                # thresholding happen inside the streamed loss block.
+                teacher_prob8 = jax.nn.softmax(teach2.astype(jnp.float32), axis=-1)
+
+            # ------- student forward + composite loss (:370-424) -------
+            def loss_fn(tparams, t1p, t2p):
+                t1m = ntm_fwd(t1p)
+                t2m = ntm_fwd(t2p)
+                (x1, x2), mutated = model.apply(
+                    {"params": merge_params(tparams, frozen_params),
+                     "batch_stats": batch_stats},
+                    image,
+                    True,
+                    mutable=["batch_stats"],
+                )
+                # All full-resolution losses — anchor (:374-384), class-posterior
+                # refinement + CE (:387-395), placeholder (:398-399), noisy posterior
+                # (:402-409) — in one streamed pass (ops/fused_losses.py).
+                losses = simt_loss_block(
+                    x1, x2, teacher_prob8, label, t1m, t2m,
+                    num_classes=c, open_classes=o,
+                    threshold_high=s.threshold_high, threshold_low=s.threshold_low,
+                    lambda_place=s.lambda_place, lambda_seg=s.lambda_seg,
+                    ignore_label=ignore,
+                )
+                loss_p1, loss_p2 = losses["loss_p1"], losses["loss_p2"]
+                loss_y1, loss_y2 = losses["loss_y1"], losses["loss_y2"]
+                place, anchor = losses["place"], losses["anchor"]
+
+                # Convex loss (:412-415): push T away from the other rows' convex hull.
+                convex = -(
+                    mse_sum(w1_mat @ t1m, jnp.zeros((total, c)))
+                    + mse_sum(w2_mat @ t2m, jnp.zeros((total, c)))
+                )
+
+                # Volume loss (:417-421), guarded on the two-head sum.
+                volume = _guarded_volume(t1m, t2m)
+
+                loss_target = (
+                    loss_p2 + loss_y2 + s.lambda_seg * loss_p1 + s.lambda_seg * loss_y1
+                )
+                loss = (
+                    place
+                    + loss_target
+                    + s.lambda_convex * convex
+                    + s.lambda_volume * volume
+                    + s.lambda_anchor * anchor
+                )
+                metrics = {
+                    "loss": loss,
+                    "loss_seg_p": loss_p1 + loss_p2,
+                    "loss_seg_y": loss_y1 + loss_y2,
+                    "convex": convex,
+                    "volume": volume,
+                    "anchor": anchor,
+                    "place": place,
+                }
+                # ``loss / iter_size`` before backward (:426-428); metric values are
+                # accumulated with the same 1/iter_size scale (:429-432).
+                return loss / iter_size, (metrics, mutated.get("batch_stats", {}))
+
+            grads = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+            return grads(train_params, st.t1.param, st.t2.param)
+
+        if iter_size == 1:
+            (g_train, g_t1, g_t2), (metrics, new_stats) = one_subbatch(
+                batch, st.model.batch_stats
             )
+        else:
+            # Batch arrays carry a leading (iter_size,) axis (train/loop.py stacks
+            # ``iter_size`` loader batches). The sub-loop unrolls at trace time; BN
+            # batch_stats chain through sub-batches like the reference's per-forward
+            # running-stat updates.
+            g_train = jax.tree.map(jnp.zeros_like, train_params)
+            g_t1 = jnp.zeros((total, c), jnp.float32)
+            g_t2 = jnp.zeros((total, c), jnp.float32)
+            metrics = None
+            new_stats = st.model.batch_stats
+            for i in range(iter_size):
+                sub = jax.tree.map(lambda a: a[i], batch)
+                (sg_train, sg_t1, sg_t2), (m, new_stats) = one_subbatch(sub, new_stats)
+                g_train = jax.tree.map(jnp.add, g_train, sg_train)
+                g_t1, g_t2 = g_t1 + sg_t1, g_t2 + sg_t2
+                m = {k: v / iter_size for k, v in m.items()}
+                metrics = m if metrics is None else {
+                    k: metrics[k] + m[k] for k in metrics
+                }
 
-            # Volume loss (:417-421), guarded.
-            volume = _guarded_volume(t1m) + _guarded_volume(t2m)
-
-            loss_target = loss_p2 + loss_y2 + s.lambda_seg * loss_p1 + s.lambda_seg * loss_y1
-            loss = (
-                place
-                + loss_target
-                + s.lambda_convex * convex
-                + s.lambda_volume * volume
-                + s.lambda_anchor * anchor
-            )
-            metrics = {
-                "loss": loss,
-                "loss_seg_p": loss_p1 + loss_p2,
-                "loss_seg_y": loss_y1 + loss_y2,
-                "convex": convex,
-                "volume": volume,
-                "anchor": anchor,
-                "place": place,
-            }
-            return loss, (metrics, mutated.get("batch_stats", {}))
-
-        grads = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-        (g_train, g_t1, g_t2), (metrics, new_stats) = grads(
-            train_params, st.t1.param, st.t2.param
-        )
+        # The inner-loop T grads add to the main-loss T grads (the reference quirk
+        # documented above); they are NOT scaled by iter_size (:337 vs :427).
+        g_t1 = g_t1 + g_t1_inner
+        g_t2 = g_t2 + g_t2_inner
         # Zero-fill frozen entries so the optimizer sees the full tree (it masks them).
         g_model = merge_params(
             g_train, jax.tree.map(jnp.zeros_like, frozen_params)

@@ -3,7 +3,8 @@
 Reference: tools/trainV1_warmup.py:204-232. One jitted ``train_step`` contains the whole
 per-iteration computation: forward (both heads), align-corners upsample to the input size,
 masked CE per head, ``loss = seg2 + lambda_seg * seg1`` (:222-224), SGD with poly LR and
-the warmup 1x/10x split.
+the warmup 1x/10x split, and ``iter_size`` gradient accumulation (:212,:226-232: loss /
+iter_size per sub-batch, one optimizer step after the sub-loop).
 """
 
 from __future__ import annotations
@@ -46,26 +47,46 @@ def make_warmup_step(model, cfg):
     )
     lambda_seg = cfg.simt.lambda_seg
     ignore = cfg.ignore_label
+    iter_size = cfg.optim.iter_size
 
     @jax.jit
     def train_step(
         st: state_lib.WarmupState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.WarmupState, Dict[str, jax.Array]]:
-        image, label = batch["image"], batch["label"]
+        def one_subbatch(sub, batch_stats):
+            image, label = sub["image"], sub["label"]
 
-        def loss_fn(params):
-            (x1, x2), mutated = model.apply(
-                {"params": params, "batch_stats": st.model.batch_stats},
-                image,
-                True,
-                mutable=["batch_stats"],
-            )
-            # Streamed upsample+CE (trainV1_warmup.py:219-224 semantics, flash-style).
-            l1 = upsample_ce(x1, label, ignore_label=ignore)
-            l2 = upsample_ce(x2, label, ignore_label=ignore)
-            return l2 + lambda_seg * l1, (l1, l2, mutated.get("batch_stats", {}))
+            def loss_fn(params):
+                (x1, x2), mutated = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    image,
+                    True,
+                    mutable=["batch_stats"],
+                )
+                # Streamed upsample+CE (trainV1_warmup.py:219-224, flash-style);
+                # loss / iter_size before backward (:226-227).
+                l1 = upsample_ce(x1, label, ignore_label=ignore)
+                l2 = upsample_ce(x2, label, ignore_label=ignore)
+                return (l2 + lambda_seg * l1) / iter_size, (
+                    l1, l2, mutated.get("batch_stats", {})
+                )
 
-        grads, (l1, l2, new_stats) = jax.grad(loss_fn, has_aux=True)(st.model.params)
+            return jax.grad(loss_fn, has_aux=True)(st.model.params)
+
+        if iter_size == 1:
+            grads, (l1, l2, new_stats) = one_subbatch(batch, st.model.batch_stats)
+        else:
+            # Leading (iter_size,) axis on the batch arrays (train/loop.py stacks).
+            grads = jax.tree.map(jnp.zeros_like, st.model.params)
+            l1 = l2 = jnp.zeros((), jnp.float32)
+            new_stats = st.model.batch_stats
+            for i in range(iter_size):
+                sub = jax.tree.map(lambda a: a[i], batch)
+                g, (sl1, sl2, new_stats) = one_subbatch(sub, new_stats)
+                grads = jax.tree.map(jnp.add, grads, g)
+                # Metric accumulation scale matches :229-230.
+                l1, l2 = l1 + sl1 / iter_size, l2 + sl2 / iter_size
+
         # Data-parallel gradient sync happens automatically under pjit sharding; no
         # explicit collective needed here.
         lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)

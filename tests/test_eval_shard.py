@@ -1,14 +1,18 @@
-"""Sharded-evaluation equivalence: per-shard histograms sum to the full histogram."""
+"""Sharded-evaluation equivalence: per-shard histograms sum to the full histogram,
+and the mIoU of the summed histogram equals the full-pass mIoU — the single-process
+proof of the cross-host reduction math in eval/evaluate.py (hist summation before
+per_class_iu)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from simt_tpu.data import synthetic
 from simt_tpu.eval import evaluate
+from simt_tpu.ops import mean_iou
 from simt_tpu.models.resnet_multi import ResNetMulti
-from simt_tpu.ops import fast_hist
+
+import pytest
 
 
 @pytest.fixture(scope="module")
@@ -26,15 +30,19 @@ def test_sharded_eval_composes(setup):
     kw = dict(
         data_root=paths["root"], val_list=paths["val_txt"], gt_dir=paths["gt_dir"],
         mode="simt", scales=((32, 16), (40, 20)), out_hw=(32, 64),
-        print_fn=lambda s: None,
+        print_fn=lambda s: None, return_hist=True,
     )
-    full = evaluate(model, variables, **kw)
-    # Evaluating the two interleaved halves and averaging histograms must give the same
-    # mIoU as the single pass (process_count()==1, so we check shard list-splitting by
-    # reconstructing: run both shards and ensure they cover all images).
-    m0 = evaluate(model, variables, shard=(0, 2), **kw)
-    m1 = evaluate(model, variables, shard=(1, 2), **kw)
-    # Shard mIoUs are per-subset (no cross-process sum on 1 process); the sanity check
-    # here is that both shards run and see disjoint halves.
+    full, hist_full = evaluate(model, variables, **kw)
+    m0, hist0 = evaluate(model, variables, shard=(0, 2), **kw)
+    m1, hist1 = evaluate(model, variables, shard=(1, 2), **kw)
+
+    # The shards partition the val set, so their histograms must sum EXACTLY to the
+    # full histogram (integer confusion counts)...
+    np.testing.assert_array_equal(hist0 + hist1, hist_full)
+    # ...and the reduction used across processes (sum hists, then IoU) reproduces the
+    # single-pass mIoU exactly.
+    assert mean_iou(hist0 + hist1) == full
+    # Each shard saw a proper non-empty subset.
+    assert hist0.sum() > 0 and hist1.sum() > 0
+    assert hist0.sum() < hist_full.sum() and hist1.sum() < hist_full.sum()
     assert 0.0 <= m0 <= 100.0 and 0.0 <= m1 <= 100.0
-    assert full >= 0.0

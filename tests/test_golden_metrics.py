@@ -18,17 +18,21 @@ from simt_tpu.data import synthetic
 from simt_tpu.models.resnet_multi import ResNetMulti
 from simt_tpu.train import create_simt_state, make_simt_step
 
+# Regenerated 2026-08-16: the inner-W-loop T-gradient accumulation quirk
+# (trainV2_simt.py:317,:337,:435) is now reproduced, slightly shifting the T1/T2
+# trajectory from step 2 on (validated against the torch reference-math oracle in
+# test_reference_oracle.py).
 GOLDEN = [
-    dict(anchor=3.588634, convex=-4.672327, loss=2.146873, loss_seg_y=3.240833,
+    dict(anchor=3.588634, convex=-4.672327, loss=2.146873, loss_seg_y=3.240834,
          volume=-2.757841),
-    dict(anchor=3.584829, convex=-4.658358, loss=2.138519, loss_seg_y=3.238977,
-         volume=-2.762063),
-    dict(anchor=3.581013, convex=-4.644467, loss=2.128992, loss_seg_y=3.235854,
-         volume=-2.766279),
-    dict(anchor=3.577207, convex=-4.630659, loss=2.118952, loss_seg_y=3.232123,
-         volume=-2.77049),
-    dict(anchor=3.573059, convex=-4.616932, loss=2.108563, loss_seg_y=3.228317,
-         volume=-2.774695),
+    dict(anchor=3.584842, convex=-4.658350, loss=2.138523, loss_seg_y=3.238984,
+         volume=-2.762074),
+    dict(anchor=3.581039, convex=-4.644454, loss=2.128999, loss_seg_y=3.235867,
+         volume=-2.766301),
+    dict(anchor=3.577246, convex=-4.630641, loss=2.118964, loss_seg_y=3.232143,
+         volume=-2.770521),
+    dict(anchor=3.573111, convex=-4.616913, loss=2.108580, loss_seg_y=3.228341,
+         volume=-2.774734),
 ]
 
 

@@ -18,7 +18,9 @@ def test_presets():
     lr6 = config_lib.preset("simt_bapa_lr6")
     assert lr6.optim.learning_rate == 6e-4 and lr6.optim.learning_rate_t == 6e-3
     sfda = config_lib.preset("simt_sfda")
-    assert sfda.simt.class_dist == "sfdaseg"
+    # sig_NTM hardcodes the bapa prior for every run incl. SFDA (deeplab_multi.py:255).
+    assert sfda.simt.class_dist == "bapa"
+    assert "sfdaseg" in sfda.data.list_path
     with pytest.raises(ValueError):
         config_lib.preset("nope")
 

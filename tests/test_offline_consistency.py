@@ -44,8 +44,9 @@ def test_saved_predictions_rescore_to_same_miou(tmp_path):
     with open(devkit / "val.txt", "w") as f:
         f.write("\n".join(names) + "\n")
     with open(devkit / "label.txt", "w") as f:
-        gt_names = [n.split("/")[-1].split("leftImg8bit")[0] + "gtFine_labelIds.png"
-                    for n in names]
+        # Full relative gt paths incl. the city subdir, like the shipped label.txt
+        # ('frankfurt/frankfurt_..._gtFine_labelIds.png').
+        gt_names = [n.split("leftImg8bit")[0] + "gtFine_labelIds.png" for n in names]
         f.write("\n".join(gt_names) + "\n")
 
     ious = compute_miou(paths["gt_dir"], save_dir, str(devkit))

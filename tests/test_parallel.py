@@ -80,3 +80,48 @@ def test_sharded_simt_train_step(tmp_path):
     assert abs(float(m1s["loss"]) - float(m1["loss"])) < 1e-3 * max(
         1.0, abs(float(m1["loss"]))
     )
+
+
+def test_loop_level_mesh_training_matches_single_device(tmp_path):
+    """MeshConfig is consumed by the PRODUCT path: train/loop.py builds the mesh,
+    replicates the state and shards every batch. Loss trace over 3 steps must match
+    the single-device run (BN batch stats are global across shards, so a (2,2) mesh
+    on batch 2 is numerically the same computation)."""
+    import dataclasses
+
+    import tests.test_train as tt
+    from simt_tpu.config import MeshConfig
+    from simt_tpu.data import synthetic
+    from simt_tpu.train.loop import train
+
+    def batches():
+        while True:
+            raw = synthetic.synthetic_batch(batch_size=2, hw=tt.HW,
+                                            num_classes=tt.C, seed=11)
+            yield {"image": jnp.asarray(raw["image"]),
+                   "label": jnp.asarray(raw["label"])}
+
+    base = tt.tiny_cfg(tmp_path, "simt").replace(
+        snapshot_dir="", num_steps_stop=3, log_every=1
+    )
+    base = base.replace(
+        data=dataclasses.replace(base.data, batch_size=2)
+    )
+    lines_single, lines_mesh = [], []
+    out1 = train(base, batch_iter=batches(), eval_fn=None,
+                 print_fn=lines_single.append, max_steps=3)
+    meshed = base.replace(mesh=MeshConfig(data_axis=2, spatial_axis=2))
+    out2 = train(meshed, batch_iter=batches(), eval_fn=None,
+                 print_fn=lines_mesh.append, max_steps=3)
+
+    assert any("mesh: data=2 spatial=2" in l for l in lines_mesh)
+    # First-step metric lines must match exactly-to-print (same state, same batch).
+    assert lines_single[1] == lines_mesh[2], (lines_single[1], lines_mesh[2])
+    # Across 3 steps the CONTINUOUS losses track tightly. The anchor loss (and hence
+    # the total) is argmax-discontinuous: a last-ulp conv difference between sharded
+    # and unsharded reduction orders can select a different anchor pixel, which is
+    # inherent to cross-device reductions, not a wiring bug.
+    for k in ("loss_seg_y", "convex", "volume"):
+        a = out1["final_metrics"][k]
+        b = out2["final_metrics"][k]
+        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (k, a, b)

@@ -148,3 +148,91 @@ def test_simt_step_deterministic(simt_setup):
     s2, m2 = step(state, b)
     assert float(m1["loss"]) == float(m2["loss"])
     assert np.array_equal(np.asarray(s1.t1.param), np.asarray(s2.t1.param))
+
+
+def test_warmup_iter_size_two_identical_batches_matches_single(tmp_path):
+    """iter_size accumulation (trainV1_warmup.py:212,:226-232): with two IDENTICAL
+    sub-batches, grads are (g+g)/2 = g, so the post-step params must equal the
+    iter_size=1 step exactly; BN stats chain through both forwards."""
+    cfg1 = tiny_cfg(tmp_path, "warmup")
+    cfg2 = dataclasses.replace(
+        cfg1, optim=dataclasses.replace(cfg1.optim, iter_size=2)
+    )
+    model = tiny_model(False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)), False)
+    b = batch(5)
+
+    s1 = create_warmup_state(model, variables, cfg1)
+    s1, m1 = make_warmup_step(model, cfg1)(s1, b)
+
+    stacked = {k: jnp.stack([v, v]) for k, v in b.items()}
+    s2 = create_warmup_state(model, variables, cfg2)
+    s2, m2 = make_warmup_step(model, cfg2)(s2, stacked)
+
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6),
+        s1.model.params, s2.model.params,
+    )
+    assert float(m1["loss_seg2"]) == pytest.approx(float(m2["loss_seg2"]), rel=1e-6)
+
+
+def test_warmup_iter_size_equals_manual_grad_mean(tmp_path):
+    """iter_size=2 on distinct batches (A, B) applies SGD to (g_A + g_B)/2. First-step
+    SGD is linear in the gradient: p' = p - lr*(g + wd*p), so g is recoverable from the
+    two single-batch steps and the accumulated step must land on the reconstruction."""
+    cfg1 = tiny_cfg(tmp_path, "warmup")
+    cfg2 = dataclasses.replace(
+        cfg1, optim=dataclasses.replace(cfg1.optim, iter_size=2)
+    )
+    model = tiny_model(False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)), False)
+    ba, bb = batch(6), batch(7)
+    step1 = make_warmup_step(model, cfg1)
+
+    sa, _ = step1(create_warmup_state(model, variables, cfg1), ba)
+    sb, _ = step1(create_warmup_state(model, variables, cfg1), bb)
+    stacked = {k: jnp.stack([ba[k], bb[k]]) for k in ba}
+    s2, _ = make_warmup_step(model, cfg2)(
+        create_warmup_state(model, variables, cfg2), stacked
+    )
+
+    # p_acc = p - lr*((gA+gB)/2 + wd*p) = (pA + pB)/2 for first-step SGD+momentum.
+    def check(p0, pa, pb, pacc):
+        np.testing.assert_allclose(
+            np.asarray(pacc), (np.asarray(pa) + np.asarray(pb)) / 2.0, atol=1e-6
+        )
+
+    jax.tree.map(check, variables["params"], sa.model.params, sb.model.params,
+                 s2.model.params)
+
+
+def test_simt_iter_size_two_identical_batches_matches_single(tmp_path):
+    """SimT iter_size accumulation (trainV2_simt.py:345,:426-436) with identical
+    sub-batches: model params, T params (inner-loop quirk included) and W params all
+    land exactly on the iter_size=1 result."""
+    cfg1 = tiny_cfg(tmp_path, "simt")
+    cfg2 = dataclasses.replace(
+        cfg1, optim=dataclasses.replace(cfg1.optim, iter_size=2)
+    )
+    student, teacher = tiny_model(True), tiny_model(False)
+    sv = student.init(jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)), False)
+    tv = teacher.init(jax.random.PRNGKey(1), jnp.zeros((1, *HW, 3)), False)
+    b = batch(8)
+
+    st1 = create_simt_state(sv, tv, cfg1, jax.random.PRNGKey(2))
+    st1, m1 = make_simt_step(student, teacher, cfg1)(st1, b)
+
+    stacked = {k: jnp.stack([v, v]) for k, v in b.items()}
+    st2 = create_simt_state(sv, tv, cfg2, jax.random.PRNGKey(2))
+    st2, m2 = make_simt_step(student, teacher, cfg2)(st2, stacked)
+
+    np.testing.assert_allclose(np.asarray(st1.t1.param), np.asarray(st2.t1.param),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st1.w1.param), np.asarray(st2.w1.param),
+                               atol=1e-6)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6),
+        st1.model.params, st2.model.params,
+    )
+    for k in ("loss", "anchor", "volume"):
+        assert float(m1[k]) == pytest.approx(float(m2[k]), rel=1e-5), k

@@ -24,6 +24,21 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="directory of *_gtFine_labelIds.png val ground truth")
     parser.add_argument("--val-list", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--iter-size", type=int, default=None,
+                        help="accumulate gradients over N sub-batches per optimizer "
+                             "step (reference ITER_SIZE, trainV2_simt.py:85-86)")
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="data-parallel mesh degree (batch dim sharding)")
+    parser.add_argument("--mesh-spatial", type=int, default=None,
+                        help="spatial mesh degree (image-height sharding, the "
+                             "context-parallel analog for CNNs)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host coordinator address host:port "
+                             "(jax.distributed.initialize)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-host process count")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="this process's index in the multi-host job")
     parser.add_argument("--input-size-target", type=str, default=None,
                         help="'W,H' crop size (reference format, e.g. '1024,512')")
     parser.add_argument("--learning-rate", type=float, default=None)
@@ -89,6 +104,16 @@ def enable_compilation_cache() -> None:
 def apply_platform(args) -> None:
     """Must run before any JAX device use; the session env pins the axon TPU platform,
     so this goes through jax.config rather than JAX_PLATFORMS."""
+    n_mesh = (getattr(args, "mesh_data", None) or 1) * (
+        getattr(args, "mesh_spatial", None) or 1
+    )
+    if args.platform == "cpu" and n_mesh > 1:
+        # Virtual host devices for a CPU mesh (must precede backend init).
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_mesh}"
+            ).strip()
     if args.platform:
         import jax
 
@@ -97,6 +122,12 @@ def apply_platform(args) -> None:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "coordinator", None):
+        # Multi-host (DCN) bring-up before any backend touch; the (data, spatial)
+        # mesh then spans jax.devices() across all processes (SURVEY.md §2.5).
+        from simt_tpu.parallel import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_processes, args.process_id)
     enable_compilation_cache()
 
 
@@ -111,6 +142,8 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
         optim = dataclasses.replace(optim, learning_rate_t=args.learning_rate_T)
     if args.num_steps is not None:
         optim = dataclasses.replace(optim, num_steps=args.num_steps)
+    if args.iter_size is not None:
+        optim = dataclasses.replace(optim, iter_size=args.iter_size)
 
     simt = cfg.simt
     for cli, field in [
@@ -152,7 +185,13 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
     if args.random_mirror:
         data = dataclasses.replace(data, mirror=True)
 
-    kw = {}
+    mesh = cfg.mesh
+    if args.mesh_data is not None:
+        mesh = dataclasses.replace(mesh, data_axis=args.mesh_data)
+    if args.mesh_spatial is not None:
+        mesh = dataclasses.replace(mesh, spatial_axis=args.mesh_spatial)
+
+    kw = {"mesh": mesh}
     if args.num_steps is not None:
         kw["num_steps"] = args.num_steps
     if args.num_steps_stop is not None:
