@@ -5,9 +5,17 @@ DeepLabv2-ResNet101 + NTM losses) on its unspecified single GPU
 (logs/BAPA_SimT_lr25.out timestamps).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Modes:
+  python bench.py              device train-step throughput (one resident batch)
+  python bench.py --pipeline   end-to-end: on-disk PNG fixture at Cityscapes native
+                               resolution -> threaded Loader + native preproc +
+                               device_prefetch -> train step (proves the host input
+                               pipeline sustains the device rate)
 """
 
 import json
+import sys
 import time
 
 BASELINE_STEPS_PER_SEC = 1.29
@@ -29,13 +37,12 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    _enable_compilation_cache()
+def _setup():
+    """Config, models, state, jitted step — shared by both modes."""
     import jax
     import jax.numpy as jnp
 
     from simt_tpu.config import TrainConfig, ModelConfig, OptimConfig, SimTConfig
-    from simt_tpu.data import synthetic
     from simt_tpu.models import deeplab_multi
     from simt_tpu.train import create_simt_state, make_simt_step
 
@@ -62,7 +69,17 @@ def main():
     tv = jax.device_put(tv, device)
     state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
     step = make_simt_step(student, teacher, cfg)
+    return cfg, state, step, hw, batch_size
 
+
+def main():
+    _enable_compilation_cache()
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    from simt_tpu.data import synthetic
+
+    cfg, state, step, hw, batch_size = _setup()
     raw = synthetic.synthetic_batch(batch_size=batch_size, hw=hw, num_classes=19, seed=0)
     batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
 
@@ -93,5 +110,63 @@ def main():
     )
 
 
+def main_pipeline():
+    """End-to-end mode: the host input pipeline feeds the device step.
+
+    Writes a synthetic Cityscapes-layout fixture at native 2048x1024 resolution (so
+    PNG decode + bicubic 2x downscale cost what a real run costs), then drives the
+    jitted SimT step from Loader + native preproc + device_prefetch for 50 steps.
+    The reference's equivalent path is its torch DataLoader with 4 PIL workers
+    (trainV2_simt.py:287-292)."""
+    _enable_compilation_cache()
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from simt_tpu.data.synthetic import make_cityscapes_fixture
+    from simt_tpu.train.loop import build_loader
+
+    cfg, state, step, hw, batch_size = _setup()
+
+    root = tempfile.mkdtemp(prefix="simt_bench_fixture_")
+    try:
+        paths = make_cityscapes_fixture(root, n_train=12, n_val=0,
+                                        image_wh=(2048, 1024), seed=0)
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, root=root, list_path=paths["pseudo_lst"],
+            crop_size=(hw[1], hw[0]),  # (w, h)
+        ))
+        it = build_loader(cfg)
+
+        state, metrics = step(state, next(it))
+        for _ in range(2):
+            state, metrics = step(state, next(it))
+        float(metrics["loss"])
+
+        n = 50
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, next(it))
+        _ = float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        steps_per_sec = n / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "simt_train_steps_per_sec_bs1_512x1024_with_input_pipeline",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--pipeline" in sys.argv:
+        main_pipeline()
+    else:
+        main()

@@ -124,13 +124,13 @@ class Bottleneck(nn.Module):
             out = dilated_conv3x3(out.astype(self.dtype), w2.astype(self.dtype),
                                   self.dilation)
         else:
-            out = jax.lax.conv_general_dilated(
-                out.astype(self.dtype),
-                w2.astype(self.dtype),
-                window_strides=(1, 1),
-                padding=((self.dilation, self.dilation),) * 2,
-                rhs_dilation=(self.dilation, self.dilation),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # Forward-identical to lax.conv_general_dilated; backward hand-written
+            # as layout-preserving GEMMs (ops/conv.py — avoids XLA's transposed-conv
+            # wgrad lowering, which floods the composed backward with layout copies).
+            from ..ops.conv import dilated_conv3x3_gemm_bwd
+
+            out = dilated_conv3x3_gemm_bwd(
+                out.astype(self.dtype), w2.astype(self.dtype), self.dilation
             )
         out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -220,16 +220,11 @@ def aspp_apply(
     early-return quirk, deeplab_multi.py:115-119). Branch sum + bias in float32 (MXU
     accumulates bf16 matmuls in f32 internally; the cross-branch reduction shouldn't
     re-round to bf16)."""
+    from ..ops.conv import dilated_conv3x3_gemm_bwd
+
     out = None
     for i, d in enumerate(dilations[:effective_branches]):
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernels[i].astype(dtype),
-            window_strides=(1, 1),
-            padding=((d, d), (d, d)),
-            rhs_dilation=(d, d),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        y = dilated_conv3x3_gemm_bwd(x.astype(dtype), kernels[i].astype(dtype), d)
         y = y.astype(jnp.float32) + biases[i]
         out = y if out is None else out + y
     return out.astype(dtype)
