@@ -66,19 +66,24 @@ def max_pool_ceil(x: jax.Array, window: int, stride: int, padding: int) -> jax.A
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding=pads)
 
 
-def conv3x3_param(mod: nn.Module, scope_name: str, c_in: int, c_out: int) -> jax.Array:
-    """A bare 3x3 conv kernel param under a child scope (torch-compatible naming),
-    for use with the Pallas conv kernel."""
+def conv_kernel_param(scope_name: str, shape: Tuple[int, ...]) -> jax.Array:
+    """A bare conv kernel param under a child scope (torch-compatible naming:
+    ``<scope>/kernel`` with the same HWIO shape nn.Conv would store), for convs
+    implemented as explicit MXU dots (ops/conv.py) instead of convolution HLOs."""
 
     class _P(nn.Module):
         @nn.compact
         def __call__(self):
             return self.param(
-                "kernel", nn.initializers.normal(stddev=0.01), (3, 3, c_in, c_out),
-                jnp.float32,
+                "kernel", nn.initializers.normal(stddev=0.01), shape, jnp.float32
             )
 
     return _P(name=scope_name)()
+
+
+def conv3x3_param(mod: nn.Module, scope_name: str, c_in: int, c_out: int) -> jax.Array:
+    """A bare 3x3 conv kernel param under a child scope (torch-compatible naming)."""
+    return conv_kernel_param(scope_name, (3, 3, c_in, c_out))
 
 
 def use_pallas_conv(dilation: int = 1) -> bool:
@@ -112,9 +117,18 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # All convs are explicit MXU dots (ops/conv.py): 1x1s are channel matmuls,
+        # the dilated 3x3 is nine shifted-slice GEMMs with a hand-written VJP of the
+        # same form. Zero convolution HLOs -> no convolution operand layouts -> no
+        # transpose copies in the composed backward (tools/profile_trace.py).
+        from ..ops.conv import conv1x1, dilated_conv3x3_taps
+
         residual = x
         use_ra = not train
-        out = conv(self.planes, (1, 1), stride=self.stride, name="conv1", dtype=self.dtype)(x)
+        in_ch = x.shape[-1]
+        x = x.astype(self.dtype)
+        w1 = conv_kernel_param("conv1", (1, 1, in_ch, self.planes))
+        out = conv1x1(x, w1.astype(self.dtype), stride=self.stride)
         out = batch_norm(name="bn1", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
         w2 = conv3x3_param(self, "conv2", self.planes, self.planes)
@@ -124,23 +138,19 @@ class Bottleneck(nn.Module):
             out = dilated_conv3x3(out.astype(self.dtype), w2.astype(self.dtype),
                                   self.dilation)
         else:
-            # Forward-identical to lax.conv_general_dilated; backward hand-written
-            # as layout-preserving GEMMs (ops/conv.py — avoids XLA's transposed-conv
-            # wgrad lowering, which floods the composed backward with layout copies).
-            from ..ops.conv import dilated_conv3x3_gemm_bwd
-
-            out = dilated_conv3x3_gemm_bwd(
+            out = dilated_conv3x3_taps(
                 out.astype(self.dtype), w2.astype(self.dtype), self.dilation
             )
         out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
-        out = conv(self.planes * 4, (1, 1), name="conv3", dtype=self.dtype)(out)
+        w3 = conv_kernel_param("conv3", (1, 1, self.planes, self.planes * 4))
+        out = conv1x1(out, w3.astype(self.dtype))
         out = batch_norm(name="bn3", dtype=self.dtype)(out, use_running_average=use_ra)
         if self.has_downsample:
-            residual = conv(
-                self.planes * 4, (1, 1), stride=self.stride, name="downsample_conv",
-                dtype=self.dtype,
-            )(x)
+            wd = conv_kernel_param(
+                "downsample_conv", (1, 1, in_ch, self.planes * 4)
+            )
+            residual = conv1x1(x, wd.astype(self.dtype), stride=self.stride)
             residual = batch_norm(name="downsample_bn", dtype=self.dtype)(
                 residual, use_running_average=use_ra
             )
@@ -220,11 +230,11 @@ def aspp_apply(
     early-return quirk, deeplab_multi.py:115-119). Branch sum + bias in float32 (MXU
     accumulates bf16 matmuls in f32 internally; the cross-branch reduction shouldn't
     re-round to bf16)."""
-    from ..ops.conv import dilated_conv3x3_gemm_bwd
+    from ..ops.conv import dilated_conv3x3_taps
 
     out = None
     for i, d in enumerate(dilations[:effective_branches]):
-        y = dilated_conv3x3_gemm_bwd(x.astype(dtype), kernels[i].astype(dtype), d)
+        y = dilated_conv3x3_taps(x.astype(dtype), kernels[i].astype(dtype), d)
         y = y.astype(jnp.float32) + biases[i]
         out = y if out is None else out + y
     return out.astype(dtype)

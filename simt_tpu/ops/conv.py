@@ -43,6 +43,70 @@ def _conv(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
     )
 
 
+def conv1x1(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
+    """1x1 conv as a plain channel matmul: x (B,H,W,C), w (1,1,C,O) or (C,O).
+
+    A strided 1x1 conv is a strided subsample followed by the matmul. Expressing it
+    as ``dot_general`` (instead of a convolution HLO) keeps XLA:TPU from imposing
+    convolution operand layouts — the source of the (H,B,W,C)-transposed copies seen
+    in the composed backward (tools/profile_trace.py). Autodiff through a dot is two
+    dots, both layout-clean."""
+    if stride != 1:
+        x = x[:, ::stride, ::stride, :]
+    w2 = w.reshape(w.shape[-2], w.shape[-1])
+    return jax.lax.dot_general(
+        x, w2, dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+
+
+def _tap_slice(xp: jax.Array, kh: int, kw: int, d: int, h: int, w: int) -> jax.Array:
+    return jax.lax.slice(
+        xp, (0, kh * d, kw * d, 0),
+        (xp.shape[0], kh * d + h, kw * d + w, xp.shape[3]),
+    )
+
+
+def _conv_taps(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
+    """Stride-1 SAME dilated 3x3 conv as nine shifted-slice GEMMs (implicit GEMM).
+
+    Every tap is ``slice(pad(x)) @ w[kh,kw]`` — an (B*H*W, C) x (C, O) MXU matmul in
+    the activation's native NHWC layout, accumulated in f32."""
+    b, h, ww, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    acc = None
+    for kh in range(3):
+        for kw in range(3):
+            xs = _tap_slice(xp, kh, kw, d, h, ww)
+            y = jax.lax.dot_general(
+                xs, w[kh, kw], dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+    return acc.astype(x.dtype)
+
+
+def _wgrad_taps(x: jax.Array, g: jax.Array, d: int) -> jax.Array:
+    """d_weight as nine tap contractions ``dw[kh,kw] = sum_pix x_shift * dy``
+    ((C, O) MXU GEMMs with K = B*H*W) — no transposed-convolution lowering."""
+    _, h, ww, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    taps = []
+    for kh in range(3):
+        row = []
+        for kw in range(3):
+            xs = _tap_slice(xp, kh, kw, d, h, ww)
+            row.append(
+                jax.lax.dot_general(
+                    xs, g,
+                    dimension_numbers=(((0, 1, 2), (0, 1, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        taps.append(jnp.stack(row))
+    return jnp.stack(taps)  # (3, 3, C, O) f32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def dilated_conv3x3_gemm_bwd(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
     """x (B,H,W,C), w (3,3,C,O), stride-1 SAME conv with dilation ``d``.
@@ -63,30 +127,37 @@ def _bwd(d, res, g):
     # d_input: flip taps spatially, swap in/out channels.
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
     dx = _conv(g, w_flip.astype(x.dtype), d)
-
-    # d_weight: implicit-GEMM taps. Pad H/W by d, then each tap is a static slice
-    # contracted against the cotangent over (batch, H, W) — a (C, O) MXU GEMM with
-    # K = B*H*W. No transposed-convolution lowering, no layout changes.
-    _, h, ww, _ = x.shape
-    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
-    taps = []
-    for kh in range(3):
-        row = []
-        for kw in range(3):
-            xs = jax.lax.slice(
-                xp, (0, kh * d, kw * d, 0),
-                (xp.shape[0], kh * d + h, kw * d + ww, xp.shape[3]),
-            )
-            row.append(
-                jax.lax.dot_general(
-                    xs, g,
-                    dimension_numbers=(((0, 1, 2), (0, 1, 2)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        taps.append(jnp.stack(row))
-    dw = jnp.stack(taps)  # (3, 3, C, O) f32
+    dw = _wgrad_taps(x, g, d)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
 dilated_conv3x3_gemm_bwd.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dilated_conv3x3_taps(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
+    """All-GEMM stride-1 SAME dilated 3x3 conv: forward AND both gradients are
+    shifted-slice ``dot_general`` contractions — zero convolution HLOs.
+
+    In composed fwd+bwd graphs XLA:TPU's convolution custom-calls force
+    (H,B,W,C)-style operand layouts that insert big transpose copies (measured on the
+    DeepLabv2 trunk: the 34-channel ASPP head forward ran at 6 TFLOP/s behind such a
+    copy). Plain dots keep the native NHWC layout end to end. Gradients match jax
+    autodiff on the conv primitive to float round-off (tests/test_conv_vjp.py)."""
+    return _conv_taps(x, w, d)
+
+
+def _taps_fwd(x, w, d):
+    return _conv_taps(x, w, d), (x, w)
+
+
+def _taps_bwd(d, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv_taps(g, w_flip.astype(x.dtype), d)
+    dw = _wgrad_taps(x, g, d)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+dilated_conv3x3_taps.defvjp(_taps_fwd, _taps_bwd)

@@ -11,7 +11,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from simt_tpu.ops.conv import dilated_conv3x3_gemm_bwd
+from simt_tpu.ops.conv import (
+    conv1x1,
+    dilated_conv3x3_gemm_bwd,
+    dilated_conv3x3_taps,
+)
 
 
 def _ref_conv(x, w, d):
@@ -43,6 +47,44 @@ def test_conv_vjp_matches_autodiff(d, shape):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dw_c), np.asarray(dw_r),
                                rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 6, 12])
+@pytest.mark.parametrize("shape", [(1, 16, 24, 8, 5), (2, 13, 17, 4, 3)])
+def test_taps_conv_matches_autodiff(d, shape):
+    """The all-GEMM variant: forward AND gradients vs the conv primitive."""
+    b, h, w, c, o = shape
+    k = jax.random.PRNGKey(100 + d)
+    x = jax.random.normal(k, (b, h, w, c), jnp.float32)
+    wk = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, c, o), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(k, 2), (b, h, w, o), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(dilated_conv3x3_taps(x, wk, d)),
+        np.asarray(_ref_conv(x, wk, d)), rtol=1e-5, atol=1e-5)
+
+    def pull(f):
+        y, vjp = jax.vjp(lambda x_, w_: f(x_, w_), x, wk)
+        return vjp(g)
+
+    dx_c, dw_c = pull(lambda x_, w_: dilated_conv3x3_taps(x_, w_, d))
+    dx_r, dw_r = pull(lambda x_, w_: _ref_conv(x_, w_, d))
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_c), np.asarray(dw_r),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv1x1_matches_primitive(stride):
+    k = jax.random.PRNGKey(7)
+    x = jax.random.normal(k, (2, 12, 10, 6), jnp.float32)
+    wk = jax.random.normal(jax.random.fold_in(k, 1), (1, 1, 6, 9), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, wk, (stride, stride), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(conv1x1(x, wk, stride)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
 def test_conv_vjp_grad_through_composition():
