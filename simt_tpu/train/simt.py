@@ -191,9 +191,14 @@ def make_simt_step(model, teacher_model, cfg):
             )
 
         zt = jnp.zeros((total, c), jnp.float32)
-        w1, w2, g_t1_inner, g_t2_inner = jax.lax.fori_loop(
-            0, s.inner_w_steps, w_body, (st.w1, st.w2, zt, zt)
-        )
+        # Unrolled (static trip count): each iteration is ~30 microscopic ops on
+        # 34x19 matrices, so a lax.while_loop's per-iteration overhead dominates its
+        # body on TPU (~2 ms of the step measured as `while` HLOs); unrolling lets
+        # XLA fuse across iterations.
+        carry = (st.w1, st.w2, zt, zt)
+        for _ in range(s.inner_w_steps):
+            carry = w_body(0, carry)
+        w1, w2, g_t1_inner, g_t2_inner = carry
         w1_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w1.param))
         w2_mat = jax.lax.stop_gradient(ntm_lib.w_forward(w2.param))
 

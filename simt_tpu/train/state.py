@@ -97,6 +97,12 @@ def make_model_tx(
 
     ``update_fn(grads, opt_state, params, lr)`` applies the 1x/10x/frozen split with the
     given base LR (poly-decayed by the caller from the outer step).
+
+    Deliberately per-leaf: a raveled-per-group variant (one concatenated vector per LR
+    group) measured 1.7 ms FASTER in isolation (3.1 vs 4.8 ms on v5e) but ~2 ms SLOWER
+    in the full step — the concat barrier must wait for every gradient before any
+    update math starts, whereas per-leaf updates overlap with the still-running
+    backward. Scheduling beats op-count here.
     """
     direction = sgd_direction(momentum, weight_decay)
 
