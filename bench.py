@@ -136,17 +136,21 @@ def main_pipeline():
             cfg.data, root=root, list_path=paths["pseudo_lst"],
             crop_size=(hw[1], hw[0]),  # (w, h)
         ))
-        it = build_loader(cfg)
+        raw_it = build_loader(cfg)
+        step_keys = ("image", "label", "teacher_prob8")
 
-        state, metrics = step(state, next(it))
-        for _ in range(2):
-            state, metrics = step(state, next(it))
+        def it_():
+            b = next(raw_it)
+            return {k: v for k, v in b.items() if k in step_keys}
+
+        for _ in range(3):
+            state, metrics = step(state, it_())
         float(metrics["loss"])
 
         n = 50
         t0 = time.perf_counter()
         for _ in range(n):
-            state, metrics = step(state, next(it))
+            state, metrics = step(state, it_())
         _ = float(metrics["loss"])
         dt = time.perf_counter() - t0
         steps_per_sec = n / dt

@@ -20,8 +20,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", _platform)
 
 # Persistent compilation cache: the big train-step programs take minutes to compile;
-# reuse across test runs.
-_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache", _platform)
+# reuse across test runs. Keyed by the resolved backend name (not the platform
+# string) so e.g. SIMT_TEST_PLATFORM="axon,cpu" shares .jax_cache/tpu with bench.
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                      jax.default_backend())
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,58 @@
+"""TPU-side golden trace (VERDICT r1 item 8).
+
+The CPU float32 golden trace (test_golden_metrics.py) pins a tiny (1,1,1,1)-layer
+model; it cannot catch bf16-only or full-depth-only regressions on the TPU path.
+This test pins 3 steps of the BENCH configuration — full-depth ResNet-101, bf16,
+512x1024 synthetic batch, fixed seeds (bench._setup) — captured on a real v5e via
+tools/capture_tpu_golden.py. Tolerances are loose (bf16 + compiler drift); the
+point is catching structural regressions, not bit drift.
+
+Skipped on CPU. Run with:  SIMT_TEST_PLATFORM=axon,cpu python -m pytest tests/test_tpu_golden.py
+("axon" is this environment's TPU-tunnel platform name; on a directly-attached
+TPU host use SIMT_TEST_PLATFORM=tpu,cpu)
+(first run compiles the full step over the tunnel, ~minutes; cached afterwards).
+Regenerate constants with tools/capture_tpu_golden.py after intentional semantic
+changes.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="TPU-only golden trace (SIMT_TEST_PLATFORM=axon,cpu to enable)",
+)
+
+# Captured 2026-08-16 on TPU v5 lite (all-GEMM conv formulation).
+TPU_GOLDEN = [
+    dict(loss=14.4213, loss_seg_p=15.5837, loss_seg_y=9.48584, convex=-18.4848,
+         volume=-13.0308, anchor=21.6747, place=0.352427),
+    dict(loss=2.05127, loss_seg_p=0.434687, loss_seg_y=9.28109, convex=-18.3809,
+         volume=-13.0444, anchor=11.6001, place=0.153123),
+    dict(loss=-7.42732, loss_seg_p=0.00662638, loss_seg_y=9.30981, convex=-18.2866,
+         volume=-13.0473, anchor=2.31741, place=0.0149925),
+]
+
+
+@requires_tpu
+def test_tpu_three_step_golden_trace():
+    import bench
+
+    from simt_tpu.data import synthetic
+
+    cfg, state, step, hw, batch_size = bench._setup()
+    raw = synthetic.synthetic_batch(batch_size=batch_size, hw=hw, num_classes=19,
+                                    seed=0)
+    batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
+
+    for i, want in enumerate(TPU_GOLDEN):
+        state, m = step(state, batch)
+        for k, v in want.items():
+            got = float(m[k])
+            assert got == pytest.approx(v, rel=2e-2, abs=1e-2), (i, k, got, v)
