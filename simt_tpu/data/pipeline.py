@@ -15,7 +15,15 @@ Semantics preserved exactly:
   - epoch-free iteration: the index list is reshuffled each epoch and repeated
     indefinitely (the reference repeats the list ceil(max_iters/len) times, :77-78).
 
-Layout: images are produced NHWC float32 (TPU-native), not the reference's CHW.
+Layout: images are produced NHWC (TPU-native), not the reference's CHW.
+
+Wire format: the loader ships **uint8 BGR** images (decode/resize/mirror/BGR on the
+host) and the float32 cast + mean subtraction happen ON DEVICE (``normalize_image``,
+called at the top of every jitted train/eval function). This is numerically identical
+to the reference's order — PIL's resize returns uint8 *before* the float conversion at
+cityscapes_dataset.py:100,117-118 — and cuts host->device transfer 4x (2 MB vs 8 MB per
+512x1024 batch), which matters both on PCIe hosts and acutely on this environment's
+~20 MB/s tunnel (see bench.py --pipeline).
 """
 
 from __future__ import annotations
@@ -83,6 +91,41 @@ def load_image_bgr(
         arr = arr[:, ::-1]
     arr = arr[:, :, ::-1] - np.asarray(mean_bgr, np.float32)
     return np.ascontiguousarray(arr)
+
+
+def load_image_bgr_u8(
+    path: str, crop_wh: Tuple[int, int], mirror: bool = False
+) -> np.ndarray:
+    """Decode + bicubic resize to (w,h) + [mirror] + BGR, HWC **uint8** — the wire
+    format (see module docstring). Mean subtraction happens on device
+    (``normalize_image``); the uint8 values here are exactly PIL's resize output
+    (cityscapes_dataset.py:100,105), so host+device compose to the reference's math."""
+    from PIL import Image
+
+    native = _native() if USE_NATIVE else None
+    if native is not None:
+        rgb = np.asarray(_open_image(path), np.uint8)
+        # The native resampler is Pillow-bit-exact, so its pre-mean values are exact
+        # uint8 integers; a zero mean recovers them.
+        f = native.preprocess_image(rgb, crop_wh[1], crop_wh[0], (0.0, 0.0, 0.0),
+                                    mirror)
+        return f.astype(np.uint8)
+    img = _open_image(path).resize(crop_wh, Image.BICUBIC)
+    arr = np.asarray(img, np.uint8)
+    if mirror:
+        arr = arr[:, ::-1]
+    return np.ascontiguousarray(arr[:, :, ::-1])
+
+
+def normalize_image(image, mean_bgr: Sequence[float]):
+    """Device-side half of the input pipeline: uint8 BGR -> float32 mean-subtracted
+    (cityscapes_dataset.py:117-118). float32 inputs (synthetic batches, tests) pass
+    through unchanged — jit specialises on the input dtype."""
+    import jax.numpy as jnp
+
+    if image.dtype == jnp.uint8:
+        return image.astype(jnp.float32) - jnp.asarray(mean_bgr, jnp.float32)
+    return image
 
 
 def load_label(path: str, crop_wh: Tuple[int, int]) -> np.ndarray:
@@ -169,7 +212,7 @@ class SegDataset:
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         s = self.samples[index]
         mirror = bool(self.mirror and rng is not None and rng.integers(2) == 1)
-        image = load_image_bgr(s.image_path, self.crop_wh, self.mean_bgr, mirror=mirror)
+        image = load_image_bgr_u8(s.image_path, self.crop_wh, mirror=mirror)
         label = None
         if s.label_path is not None:
             label = load_label(s.label_path, self.crop_wh)

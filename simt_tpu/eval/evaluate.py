@@ -50,6 +50,9 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
 
     def _head2(variables, image):
         """Head-2 logits; DeepLabv3 returns a single map (deeplabv3.py:129-138)."""
+        from ..data.pipeline import normalize_image
+
+        image = normalize_image(image, IMG_MEAN_BGR)
         out = model.apply(variables, image, False)
         return out[1] if isinstance(out, tuple) else out
 

@@ -42,6 +42,7 @@ import optax
 
 import flax.traverse_util as traverse_util
 
+from ..data.pipeline import normalize_image
 from ..models import ntm as ntm_lib
 from ..ops import mse_sum, volume_loss
 from ..ops.fused_losses import simt_loss_block
@@ -208,7 +209,10 @@ def make_simt_step(model, teacher_model, cfg):
             """Teacher labelling + student forward + composite loss + grads for ONE
             sub-batch (the body of the reference's ``for sub_i in range(iter_size)``
             loop, :345-428). Returns grads (train, t1, t2), metrics, new batch_stats."""
-            image, label = sub["image"], sub["label"]
+            # uint8 wire format: float cast + mean-sub on device
+            # (data/pipeline.py normalize_image; no-op for float32 batches).
+            image = normalize_image(sub["image"], cfg.data.mean_bgr)
+            label = sub["label"]
 
             # ------- teacher pseudo-labels (:351-362), fully on device -------
             if "teacher_prob8" in sub:

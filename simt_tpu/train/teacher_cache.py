@@ -29,7 +29,10 @@ import numpy as np
 
 class TeacherCache:
     def __init__(self, teacher_model, teacher_params, teacher_batch_stats,
-                 *, capacity_entries: int = 8192, store_dtype=np.float16):
+                 *, capacity_entries: int = 8192, store_dtype=np.float16,
+                 mean_bgr=None):
+        from ..config import IMG_MEAN_BGR
+        mean_bgr = IMG_MEAN_BGR if mean_bgr is None else mean_bgr
         self._cache: Dict[tuple, np.ndarray] = {}
         self.capacity = capacity_entries
         self.store_dtype = store_dtype
@@ -38,6 +41,9 @@ class TeacherCache:
 
         @jax.jit
         def fwd(image):
+            from ..data.pipeline import normalize_image
+
+            image = normalize_image(image, mean_bgr)
             _, teach2 = teacher_model.apply(
                 {"params": teacher_params, "batch_stats": teacher_batch_stats},
                 image, False,

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..data.pipeline import normalize_image
 from ..ops.fused_losses import upsample_ce
 from ..ops.schedules import poly_lr
 from . import state as state_lib
@@ -54,7 +55,8 @@ def make_warmup_step(model, cfg):
         st: state_lib.WarmupState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.WarmupState, Dict[str, jax.Array]]:
         def one_subbatch(sub, batch_stats):
-            image, label = sub["image"], sub["label"]
+            image = normalize_image(sub["image"], cfg.data.mean_bgr)
+            label = sub["label"]
 
             def loss_fn(params):
                 (x1, x2), mutated = model.apply(

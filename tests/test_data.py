@@ -5,7 +5,7 @@ import pytest
 
 from simt_tpu.config import IMG_MEAN_BGR
 from simt_tpu.data import Loader, SegDataset, synthetic
-from simt_tpu.data.pipeline import load_image_bgr, remap_gta5_ids
+from simt_tpu.data.pipeline import load_image_bgr, normalize_image, remap_gta5_ids
 
 
 @pytest.fixture(scope="module")
@@ -24,13 +24,15 @@ def test_pseudo_dataset_shapes(fixture_root):
     assert len(ds) == 5
     item = ds.get(0)
     assert item["image"].shape == (16, 32, 3)  # NHWC (h, w)
-    assert item["image"].dtype == np.float32
+    assert item["image"].dtype == np.uint8  # wire format; mean-sub is on-device
     assert item["label"].shape == (16, 32)
     assert item["label"].dtype == np.int32
 
 
 def test_preprocessing_matches_reference_semantics(fixture_root, tmp_path):
-    """BGR flip + mean subtraction (cityscapes_dataset.py:117-118) vs manual PIL."""
+    """Host uint8 wire format + device-side normalize compose to the reference's
+    math exactly (resize -> uint8 -> float32 -> BGR -> mean-sub,
+    cityscapes_dataset.py:100,105,117-118)."""
     from PIL import Image
 
     ds = SegDataset.cityscapes_pseudo(
@@ -40,8 +42,14 @@ def test_preprocessing_matches_reference_semantics(fixture_root, tmp_path):
     s = ds.samples[0]
     img = Image.open(s.image_path).convert("RGB").resize((32, 16), Image.BICUBIC)
     arr = np.asarray(img, np.float32)[:, :, ::-1] - np.asarray(IMG_MEAN_BGR, np.float32)
-    got = ds.get(0)["image"]
+    wire = ds.get(0)["image"]
+    assert wire.dtype == np.uint8
+    got = np.asarray(normalize_image(wire, IMG_MEAN_BGR))
     np.testing.assert_allclose(got, arr, atol=1e-5)
+
+    # The f32 host-side helper (used by offline tools) matches the same math.
+    full = load_image_bgr(s.image_path, (32, 16), IMG_MEAN_BGR)
+    np.testing.assert_allclose(full, arr, atol=1e-5)
 
 
 def test_mirror_only_flips_width(fixture_root):
