@@ -40,6 +40,9 @@ class DataConfig:
     prefetch: int = 2
     # Use the native C++ preprocessing extension when available.
     use_native_preproc: bool = True
+    # Decode in spawned worker processes (the reference's torch-DataLoader model;
+    # Pillow holds the GIL during PNG decode so THREAD workers scale negatively).
+    process_workers: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,6 +128,13 @@ def normalize_image(image, mean_bgr: Sequence[float]):
     return image
 
 
+def normalize_label(label):
+    """uint8 wire labels -> int32 (ids are <= 255, incl. the 255 ignore id)."""
+    import jax.numpy as jnp
+
+    return label.astype(jnp.int32) if label.dtype == jnp.uint8 else label
+
+
 def load_label(path: str, crop_wh: Tuple[int, int]) -> np.ndarray:
     """Decode + nearest resize, HW int32 (cityscapes_dataset.py:101,106)."""
     from PIL import Image
@@ -222,12 +229,39 @@ class SegDataset:
                 label = label[:, ::-1]
         out = {"image": np.ascontiguousarray(image), "name": s.name, "mirror": mirror}
         if label is not None:
-            out["label"] = np.ascontiguousarray(label)
+            # uint8 wire format (ids are <= 255); consumers cast on device.
+            out["label"] = np.ascontiguousarray(label.astype(np.uint8))
         return out
 
 
+_WORKER_DS = None
+
+
+def _worker_init(ds_bytes: bytes) -> None:
+    """Process-pool initializer: unpickle the dataset once per worker."""
+    global _WORKER_DS
+    import pickle
+
+    _WORKER_DS = pickle.loads(ds_bytes)
+
+
+def _worker_get(args):
+    idx, seed = args
+    rng = None if seed is None else np.random.default_rng(seed)
+    return _WORKER_DS.get(idx, rng)
+
+
 class Loader:
-    """Epoch-free shuffled batch iterator with threaded decode + device prefetch."""
+    """Epoch-free shuffled batch iterator with parallel decode + device prefetch.
+
+    ``process_workers=True`` decodes in spawned worker PROCESSES (the reference's
+    torch DataLoader model, trainV2_simt.py:287-292). This matters: Pillow holds the
+    GIL during PNG decode, so thread workers scale NEGATIVELY (measured 129 ms/item
+    serial -> 189 ms/item with 4 threads); four processes decode four images
+    concurrently. Thread mode remains the default for tiny fixtures/tests where the
+    ~1 s spawn cost dominates; ``build_loader`` (train/loop.py) enables processes
+    for real runs via ``DataConfig.process_workers``.
+    """
 
     def __init__(
         self,
@@ -240,6 +274,7 @@ class Loader:
         prefetch: int = 2,
         drop_last: bool = True,
         loop: bool = True,
+        process_workers: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -249,6 +284,7 @@ class Loader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.loop = loop
+        self.process_workers = process_workers
 
     def _index_stream(self) -> Iterator[int]:
         rng = np.random.default_rng(self.seed)
@@ -266,21 +302,44 @@ class Loader:
         rng = np.random.default_rng(self.seed + 1)
         stream = self._index_stream()
         stop = threading.Event()
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # Keep at least num_workers+2 batches of decodes in flight so bs=1 batches
+        # don't starve the worker pool (the queue gates batches, not items).
+        q: "queue.Queue" = queue.Queue(
+            maxsize=max(self.prefetch, self.num_workers + 2)
+        )
+        if self.process_workers:
+            import multiprocessing as mp
+            import pickle
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),  # fork-after-jax is unsafe
+                initializer=_worker_init,
+                initargs=(pickle.dumps(self.dataset),),
+            )
+            get = _worker_get
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            ds = self.dataset
+
+            def get(args):
+                i, seed = args
+                return ds.get(i, None if seed is None else np.random.default_rng(seed))
 
         def submit_batch():
-            idxs, rngs = [], []
+            pairs = []
             for _ in range(self.batch_size):
                 try:
-                    idxs.append(next(stream))
+                    i = next(stream)
                 except StopIteration:
                     break
-                # Pre-draw augmentation seeds on the main thread for determinism.
-                rngs.append(np.random.default_rng(rng.integers(2**63)))
-            if len(idxs) < self.batch_size and (self.drop_last or not idxs):
+                # Pre-draw augmentation seeds on the main thread for determinism
+                # (an int seed, identical stream for thread and process pools).
+                pairs.append((i, int(rng.integers(2**63))))
+            if len(pairs) < self.batch_size and (self.drop_last or not pairs):
                 return None
-            return [pool.submit(self.dataset.get, i, r) for i, r in zip(idxs, rngs)]
+            return [pool.submit(get, pair) for pair in pairs]
 
         def producer():
             try:

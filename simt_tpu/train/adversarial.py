@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops import cross_entropy_2d, upsample_bilinear_align_corners
-from ..data.pipeline import normalize_image
+from ..data.pipeline import normalize_image, normalize_label
 from ..ops.schedules import poly_lr
 from . import state as state_lib
 from .state import ModelState
@@ -49,7 +49,7 @@ def make_adversarial_warmup_step(model, discriminator, cfg, *, lambda_adv: float
     @jax.jit
     def train_step(st, d_state: ModelState, batch) -> Tuple[object, ModelState, Dict]:
         image = normalize_image(batch["image"], cfg.data.mean_bgr)
-        label = batch["label"]
+        label = normalize_label(batch["label"])
         hw = image.shape[1:3]
         lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)
 

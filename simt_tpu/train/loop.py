@@ -106,6 +106,7 @@ def build_loader(cfg: TrainConfig, root: Optional[str] = None,
         seed=cfg.random_seed,
         num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch,
+        process_workers=cfg.data.process_workers,
     )
     return device_prefetch(iter(loader), size=cfg.data.prefetch, sharding=sharding)
 

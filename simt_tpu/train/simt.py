@@ -42,7 +42,7 @@ import optax
 
 import flax.traverse_util as traverse_util
 
-from ..data.pipeline import normalize_image
+from ..data.pipeline import normalize_image, normalize_label
 from ..models import ntm as ntm_lib
 from ..ops import mse_sum, volume_loss
 from ..ops.fused_losses import simt_loss_block
@@ -212,7 +212,7 @@ def make_simt_step(model, teacher_model, cfg):
             # uint8 wire format: float cast + mean-sub on device
             # (data/pipeline.py normalize_image; no-op for float32 batches).
             image = normalize_image(sub["image"], cfg.data.mean_bgr)
-            label = sub["label"]
+            label = normalize_label(sub["label"])
 
             # ------- teacher pseudo-labels (:351-362), fully on device -------
             if "teacher_prob8" in sub:

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..data.pipeline import normalize_image
+from ..data.pipeline import normalize_image, normalize_label
 from ..ops.fused_losses import upsample_ce
 from ..ops.schedules import poly_lr
 from . import state as state_lib
@@ -56,7 +56,7 @@ def make_warmup_step(model, cfg):
     ) -> Tuple[state_lib.WarmupState, Dict[str, jax.Array]]:
         def one_subbatch(sub, batch_stats):
             image = normalize_image(sub["image"], cfg.data.mean_bgr)
-            label = sub["label"]
+            label = normalize_label(sub["label"])
 
             def loss_fn(params):
                 (x1, x2), mutated = model.apply(

@@ -26,7 +26,7 @@ def test_pseudo_dataset_shapes(fixture_root):
     assert item["image"].shape == (16, 32, 3)  # NHWC (h, w)
     assert item["image"].dtype == np.uint8  # wire format; mean-sub is on-device
     assert item["label"].shape == (16, 32)
-    assert item["label"].dtype == np.int32
+    assert item["label"].dtype == np.uint8  # wire format; int32 cast is on-device
 
 
 def test_preprocessing_matches_reference_semantics(fixture_root, tmp_path):
@@ -113,3 +113,26 @@ def test_eval_dataset_image_only(fixture_root):
     item = ds.get(0)
     assert "label" not in item
     assert item["image"].shape == (32, 64, 3)
+
+
+def test_process_workers_match_threads(fixture_root):
+    """Spawned-process decode (the production path) yields byte-identical batches
+    and the same deterministic order as the thread pool."""
+    def batches(process_workers):
+        ds = SegDataset.cityscapes_pseudo(
+            fixture_root["root"], fixture_root["pseudo_lst"], crop_wh=(32, 16),
+            mean_bgr=IMG_MEAN_BGR, mirror=True,
+        )
+        loader = Loader(ds, batch_size=2, seed=3, num_workers=2,
+                        process_workers=process_workers)
+        it = iter(loader)
+        out = [next(it) for _ in range(2)]
+        it.close()
+        return out
+
+    bt = batches(False)
+    bp = batches(True)
+    for a, b in zip(bt, bp):
+        assert a["name"] == b["name"]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
