@@ -237,12 +237,15 @@ class SegDataset:
 _WORKER_DS = None
 
 
-def _worker_init(ds_bytes: bytes) -> None:
-    """Process-pool initializer: unpickle the dataset once per worker."""
-    global _WORKER_DS
+def _worker_init(ds_bytes: bytes, use_native: bool = True) -> None:
+    """Process-pool initializer: unpickle the dataset once per worker and propagate
+    the module-level USE_NATIVE switch (spawned workers re-import this module, which
+    would otherwise silently reset a parent-side override to the default)."""
+    global _WORKER_DS, USE_NATIVE
     import pickle
 
     _WORKER_DS = pickle.loads(ds_bytes)
+    USE_NATIVE = use_native
 
 
 def _worker_get(args):
@@ -316,7 +319,7 @@ class Loader:
                 max_workers=self.num_workers,
                 mp_context=mp.get_context("spawn"),  # fork-after-jax is unsafe
                 initializer=_worker_init,
-                initargs=(pickle.dumps(self.dataset),),
+                initargs=(pickle.dumps(self.dataset), USE_NATIVE),
             )
             get = _worker_get
         else:
@@ -372,7 +375,7 @@ class Loader:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            pool.shutdown(wait=False)
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def device_prefetch(iterator: Iterator[Dict], size: int = 2, sharding=None) -> Iterator[Dict]:

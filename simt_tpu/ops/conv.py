@@ -16,12 +16,14 @@ as the forward:
   - d_weight: nine shifted-slice GEMMs ``dw[kh,kw] = sum_pix x_shift[kh,kw] * dy``
               (the implicit-GEMM formulation), contracted in f32 on the MXU.
 
-The forward is byte-identical to the default path (same primitive, same layout); only
-gradient op *order* differs (mathematically the same linear maps), so this is enabled
-everywhere — CPU tests cover equivalence against jax autodiff.
+``dilated_conv3x3_taps`` goes further: the FORWARD is also expressed as the nine
+tap GEMMs, so no convolution HLO exists at all and XLA never imposes convolution
+operand layouts in either direction. Gradient op *order* differs from jax autodiff of
+the conv primitive (mathematically the same linear maps); CPU tests cover equivalence.
 
-Used by models/layers.py (bottleneck conv2) and the ASPP heads. Reference hot path
-this accelerates: model/deeplab_multi.py:57-119 under tools/trainV2_simt.py:370,428.
+Used by models/layers.py (bottleneck conv2, via ``dilated_conv3x3_taps``) and the ASPP
+heads. Reference hot path this accelerates: model/deeplab_multi.py:57-119 under
+tools/trainV2_simt.py:370,428.
 """
 
 from __future__ import annotations
@@ -30,17 +32,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-
-def _conv(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
-    return jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1, 1),
-        padding=((d, d), (d, d)),
-        rhs_dilation=(d, d),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
 
 
 def conv1x1(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
@@ -105,33 +96,6 @@ def _wgrad_taps(x: jax.Array, g: jax.Array, d: int) -> jax.Array:
             )
         taps.append(jnp.stack(row))
     return jnp.stack(taps)  # (3, 3, C, O) f32
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def dilated_conv3x3_gemm_bwd(x: jax.Array, w: jax.Array, d: int) -> jax.Array:
-    """x (B,H,W,C), w (3,3,C,O), stride-1 SAME conv with dilation ``d``.
-
-    Forward identical to ``lax.conv_general_dilated``; backward hand-written as
-    layout-preserving GEMMs (see module docstring).
-    """
-    return _conv(x, w, d)
-
-
-def _fwd(x, w, d):
-    return _conv(x, w, d), (x, w)
-
-
-def _bwd(d, res, g):
-    x, w = res
-    g = g.astype(x.dtype)
-    # d_input: flip taps spatially, swap in/out channels.
-    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
-    dx = _conv(g, w_flip.astype(x.dtype), d)
-    dw = _wgrad_taps(x, g, d)
-    return dx.astype(x.dtype), dw.astype(w.dtype)
-
-
-dilated_conv3x3_gemm_bwd.defvjp(_fwd, _bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -20,7 +20,9 @@ def main():
     if jax.default_backend() != "tpu":
         sys.exit("must run on the TPU backend")
 
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
     import jax.numpy as jnp
 

@@ -108,12 +108,15 @@ def apply_platform(args) -> None:
         getattr(args, "mesh_spatial", None) or 1
     )
     if args.platform == "cpu" and n_mesh > 1:
-        # Virtual host devices for a CPU mesh (must precede backend init).
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={n_mesh}"
-            ).strip()
+        # Virtual host devices for a CPU mesh (must precede backend init). Strip any
+        # pre-existing flag first — a leftover =1 from the environment would
+        # otherwise win and the mesh build would fail downstream.
+        flags = [
+            f for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append(f"--xla_force_host_platform_device_count={n_mesh}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
     if args.platform:
         import jax
 
