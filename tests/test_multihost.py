@@ -1,0 +1,179 @@
+"""Multi-host bring-up test: two REAL processes over jax.distributed (CPU backend).
+
+Covers ``parallel.initialize_multihost`` + the cross-process collective path that the
+single-process mesh tests cannot reach (SURVEY.md §2.5 comm-backend row; the reference
+has no distribution layer at all). Each process gets 2 virtual CPU devices, composes
+the global (data=4,) mesh, runs a psum over a process-dependent value, and checks the
+globally-reduced result — i.e. the DCN path of the eval-histogram reduction
+(eval/evaluate.py) and DP gradient sync.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+sys.path.insert(0, {repo!r})
+from simt_tpu.parallel import initialize_multihost
+
+initialize_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.process_index() == pid
+
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.experimental import multihost_utils
+
+devices = np.asarray(jax.devices()).reshape(nproc * 2)
+mesh = Mesh(devices, ("data",))
+
+# Each process contributes its own histogram shard; the global psum must see both.
+local = jnp.full((2, 4), float(pid + 1), jnp.float32)  # 2 local shards
+global_shape = (nproc * 2, 4)
+arr = multihost_utils.host_local_array_to_global_array(local, mesh, PartitionSpec("data"))
+
+@jax.jit
+def reduce_sum(a):
+    return jnp.sum(a)
+
+total = float(reduce_sum(arr))
+# process 0 contributes 2*4*1, process 1 contributes 2*4*2 -> 24
+expected = sum((p + 1) * 2 * 4 for p in range(nproc))
+assert total == expected, (total, expected)
+print(f"proc {{pid}} ok total={{total}}")
+"""
+
+
+_EVAL_WORKER = r"""
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+fixture_root = sys.argv[4]
+val_txt = sys.argv[5]
+gt_dir = sys.argv[6]
+
+sys.path.insert(0, {repo!r})
+from simt_tpu.parallel import initialize_multihost
+
+initialize_multihost(f"127.0.0.1:{{port}}", nproc, pid)
+
+import jax.numpy as jnp
+from simt_tpu.eval import evaluate
+from simt_tpu.models.resnet_multi import ResNetMulti
+
+model = ResNetMulti(num_classes=19, layers=(1, 1, 1, 1), dtype=jnp.float32)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 3)), False)
+# shard defaults to (process_index, process_count); the final histogram is
+# process_allgather-summed, so every process must print the same GLOBAL mIoU.
+miou = evaluate(
+    model, variables, data_root=fixture_root, val_list=val_txt, gt_dir=gt_dir,
+    mode="simt", scales=((32, 16), (40, 20)), out_hw=(32, 64),
+    print_fn=lambda s: None,
+)
+print(f"proc {{pid}} miou={{miou}}")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("SIMT_SKIP_MULTIHOST") == "1",
+                    reason="explicitly disabled")
+def test_two_process_sharded_eval_agrees_with_single(tmp_path):
+    """The DCN path of the eval reduction: two processes each evaluate their shard,
+    process_allgather-sum the 19x19 histograms, and must both report exactly the
+    single-process full-set mIoU."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from simt_tpu.data import synthetic
+    from simt_tpu.eval import evaluate
+    from simt_tpu.models.resnet_multi import ResNetMulti
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path / "cs"
+    paths = synthetic.make_cityscapes_fixture(str(root), n_train=2, n_val=4,
+                                              image_wh=(64, 32))
+    model = ResNetMulti(num_classes=19, layers=(1, 1, 1, 1), dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 3)), False)
+    full = evaluate(
+        model, variables, data_root=paths["root"], val_list=paths["val_txt"],
+        gt_dir=paths["gt_dir"], mode="simt", scales=((32, 16), (40, 20)),
+        out_hw=(32, 64), print_fn=lambda s: None,
+    )
+
+    script = tmp_path / "eval_worker.py"
+    script.write_text(_EVAL_WORKER.format(repo=repo))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", "29783",
+             paths["root"], paths["val_txt"], paths["gt_dir"]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, out[-2000:]
+    for pid in range(2):
+        assert f"proc {pid} miou={full}" in outs[pid][1], (full, outs[pid][1][-500:])
+
+
+@pytest.mark.skipif(os.environ.get("SIMT_SKIP_MULTIHOST") == "1",
+                    reason="explicitly disabled")
+def test_two_process_distributed_reduce(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=repo))
+    port = "29781"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", port],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append((p.returncode, out))
+    for rc, out in outs:
+        assert rc == 0, out[-2000:]
+    assert "proc 0 ok" in outs[0][1] and "proc 1 ok" in outs[1][1]
