@@ -182,15 +182,9 @@ def main():
     timeit("XLA conv_general_dilated fwd", xla_conv_chain, xc,
            flops_per_rep=gflop_c2 * 1e9)
 
-    # ---- c) fused Pallas bottleneck (if available) ---------------------------------
-    try:
-        from simt_tpu.ops.pallas.bottleneck import fused_bottleneck_ref_params
-    except ImportError:
-        print("\n[c] fused Pallas bottleneck: not built yet")
-        return
-
-    print("\n[c] fused Pallas bottleneck")
-    fused_bottleneck_ref_params(block, params, batch_stats, x, REPS, timeit, gflop_fwd)
+    # ---- c) fused Pallas bottleneck: see tools/bench_fused_bottleneck.py -----------
+    print("\n[c] fused Pallas bottleneck: benchmarked separately "
+          "(tools/bench_fused_bottleneck.py; status in ops/pallas/bottleneck.py)")
 
 
 if __name__ == "__main__":
