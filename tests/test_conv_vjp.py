@@ -1,9 +1,9 @@
-"""Gradient equivalence of the hand-written conv backward (ops/conv.py).
+"""Equivalence of the all-GEMM conv (ops/conv.py) against the conv primitive.
 
-The forward is the same primitive as jax autodiff's; the backward is re-expressed as
-layout-preserving GEMMs. Both must produce the same linear maps (up to float
-round-off) for every dilation used by the model family (1, 2, 4 bottleneck; 6, 12
-ASPP — deeplab_multi.py:68-69,104-113).
+``dilated_conv3x3_taps`` re-expresses the forward AND both gradients as shifted-slice
+MXU GEMMs; all three must match jax autodiff on ``conv_general_dilated`` to float
+round-off for every dilation the model family uses (1, 2, 4 bottleneck; 6, 12 ASPP —
+deeplab_multi.py:68-69,104-113). ``conv1x1`` likewise vs the strided 1x1 primitive.
 """
 
 import jax

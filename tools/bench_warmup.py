@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
 """Warmup-stage train-step throughput (secondary metric; headline is bench.py).
 
-Reference baseline: ~1.2 steps/s (trainV1_warmup.py on its single GPU — BASELINE.md).
-Prints one JSON line.
+The reference shipped NO warmup-stage run log (logs/ holds SimT-stage runs only), so
+there is no measured warmup baseline. The SimT-stage rate (~1.29 steps/s,
+BASELINE.md) is used as a conservative proxy denominator — the warmup loop does
+strictly less work per step than the SimT loop (no teacher forward, no NTM losses),
+so the true reference warmup rate is at least this, and the reported multiplier is an
+upper bound labelled as such. Prints one JSON line.
 """
 
 import json
@@ -11,19 +15,17 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE = 1.2
+# SimT-stage reference rate as a conservative proxy (see module docstring).
+BASELINE_PROXY = 1.29
 
 
 def main():
     import jax
+    from common import enable_compilation_cache
 
-    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache")
-    os.makedirs(d, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(d, jax.default_backend()))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 
@@ -59,7 +61,8 @@ def main():
     print(json.dumps({
         "metric": "warmup_train_steps_per_sec_bs1_512x1024",
         "value": round(sps, 2), "unit": "steps/s",
-        "vs_baseline": round(sps / BASELINE, 2),
+        # vs the SimT-stage reference rate (no warmup log exists; upper bound).
+        "vs_simt_baseline_proxy": round(sps / BASELINE_PROXY, 2),
     }))
 
 
