@@ -106,10 +106,11 @@ def load_image_bgr_u8(
     if native is not None:
         rgb = np.asarray(_open_image(path), np.uint8)
         # The native resampler is Pillow-bit-exact, so its pre-mean values are exact
-        # uint8 integers; a zero mean recovers them.
+        # uint8 integers; a zero mean recovers them. rint (not truncation) so a value
+        # a float-ulp below an integer cannot silently go off-by-one.
         f = native.preprocess_image(rgb, crop_wh[1], crop_wh[0], (0.0, 0.0, 0.0),
                                     mirror)
-        return f.astype(np.uint8)
+        return np.rint(f).astype(np.uint8)
     img = _open_image(path).resize(crop_wh, Image.BICUBIC)
     arr = np.asarray(img, np.uint8)
     if mirror:
@@ -264,6 +265,11 @@ class Loader:
     concurrently. Thread mode remains the default for tiny fixtures/tests where the
     ~1 s spawn cost dominates; ``build_loader`` (train/loop.py) enables processes
     for real runs via ``DataConfig.process_workers``.
+
+    Note: the decode queue holds ``max(prefetch, num_workers + 2)`` batches — a
+    smaller ``prefetch`` is raised to keep the worker pool saturated at bs=1, which
+    also raises peak host memory by up to ``num_workers + 2`` batches (relevant for
+    eval-resolution images on small hosts).
     """
 
     def __init__(
@@ -278,6 +284,7 @@ class Loader:
         drop_last: bool = True,
         loop: bool = True,
         process_workers: bool = False,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -288,6 +295,12 @@ class Loader:
         self.drop_last = drop_last
         self.loop = loop
         self.process_workers = process_workers
+        # Multi-process data parallelism: ``(index, count)`` makes this loader draw
+        # the SAME global index+augmentation-seed stream as every peer (identical
+        # seed => identical shuffle) but decode only block ``index`` of each
+        # ``count * batch_size`` global batch — the per-process slice of the global
+        # array assembled by jax.make_array_from_process_local_data downstream.
+        self.process_shard = process_shard
 
     def _index_stream(self) -> Iterator[int]:
         rng = np.random.default_rng(self.seed)
@@ -330,18 +343,25 @@ class Loader:
                 i, seed = args
                 return ds.get(i, None if seed is None else np.random.default_rng(seed))
 
+        shard_idx, shard_cnt = self.process_shard or (0, 1)
+
         def submit_batch():
             pairs = []
-            for _ in range(self.batch_size):
+            for _ in range(self.batch_size * shard_cnt):
                 try:
                     i = next(stream)
                 except StopIteration:
                     break
                 # Pre-draw augmentation seeds on the main thread for determinism
-                # (an int seed, identical stream for thread and process pools).
+                # (an int seed, identical stream for thread and process pools —
+                # and, with process_shard, identical across peer processes).
                 pairs.append((i, int(rng.integers(2**63))))
-            if len(pairs) < self.batch_size and (self.drop_last or not pairs):
-                return None
+            if len(pairs) < self.batch_size * shard_cnt:
+                # Partial global groups are dropped in sharded mode (peers must
+                # agree on the global batch layout); otherwise honour drop_last.
+                if shard_cnt > 1 or self.drop_last or not pairs:
+                    return None
+            pairs = pairs[shard_idx * self.batch_size:(shard_idx + 1) * self.batch_size]
             return [pool.submit(get, pair) for pair in pairs]
 
         def producer():
@@ -383,21 +403,29 @@ def device_prefetch(iterator: Iterator[Dict], size: int = 2, sharding=None) -> I
 
     With ``sharding`` (a jax.sharding.Sharding), batches land directly in their
     data-parallel placement — the multi-host input path the reference never had.
+    On a multi-process mesh (non-fully-addressable sharding) the iterator must
+    yield this process's local block of the global batch; the global array is
+    assembled via ``jax.make_array_from_process_local_data``.
     """
     import collections
 
     import jax
 
     buf = collections.deque()
+    cross_process = sharding is not None and not sharding.is_fully_addressable
 
     def put(batch):
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
-        placed = (
-            {k: jax.device_put(v, sharding) for k, v in arrays.items()}
-            if sharding is not None
-            else {k: jax.device_put(v) for k, v in arrays.items()}
-        )
+        if cross_process:
+            placed = {
+                k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in arrays.items()
+            }
+        elif sharding is not None:
+            placed = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+        else:
+            placed = {k: jax.device_put(v) for k, v in arrays.items()}
         placed.update(rest)
         return placed
 

@@ -111,6 +111,7 @@ def evaluate(
     out_hw: Tuple[int, int] = EVAL_OUT_HW,
     shard: Optional[Tuple[int, int]] = None,
     return_hist: bool = False,
+    process_workers: bool = False,
 ) -> float:
     """Run the full protocol; returns mIoU (percent, 2dp) like evaluate_cityscapes.py:162.
 
@@ -135,9 +136,12 @@ def evaluate(
         if shard is not None:
             idx, count = shard
             ds.samples = ds.samples[idx::count]
+        # ``process_workers`` mirrors DataConfig.process_workers: PNG decode of
+        # 2048x1024 val images is GIL-bound under thread workers just like training
+        # decode (see data/pipeline.py Loader docstring).
         loaders.append(
             Loader(ds, batch_size, shuffle=False, num_workers=4, drop_last=False,
-                   loop=False)
+                   loop=False, process_workers=process_workers)
         )
 
     predict, predict_hist, hist_update = make_eval_fn(model, num_classes, mode, out_hw)

@@ -45,10 +45,13 @@ def conv1x1(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     if stride != 1:
         x = x[:, ::stride, ::stride, :]
     w2 = w.reshape(w.shape[-2], w.shape[-1])
+    # f32 accumulation pinned in the HLO (like _conv_taps) — XLA:TPU accumulates in
+    # f32 on the MXU either way, but requesting it keeps the semantics explicit; the
+    # final round to x.dtype is identical to a dot with preferred type x.dtype.
     return jax.lax.dot_general(
         x, w2, dimension_numbers=(((3,), (0,)), ((), ())),
-        preferred_element_type=x.dtype,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
 
 
 def _tap_slice(xp: jax.Array, kh: int, kw: int, d: int, h: int, w: int) -> jax.Array:

@@ -4,6 +4,7 @@ from .mesh import (
     batch_sharding,
     initialize_multihost,
     make_mesh,
+    put_global,
     replicate_state,
     replicated,
     shard_batch,

@@ -56,13 +56,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place host data with ``sharding``, across processes if needed.
+
+    Single-process (fully-addressable) shardings use plain ``jax.device_put``. On a
+    multi-process mesh the sharding contains non-addressable devices, where
+    ``device_put`` of host numpy raises — there the global array is assembled from
+    this process's local block via ``jax.make_array_from_process_local_data`` (each
+    process feeds the rows its devices own; replicated shardings feed the full
+    array from every process). This is the multi-host input/state placement path
+    the reference never had (SURVEY.md §2.5)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh: arrays -> (data, spatial) sharded."""
+    """Place a host batch onto the mesh: arrays -> (data, spatial) sharded. On a
+    multi-process mesh each process passes its process-local block of the global
+    batch (see ``put_global``)."""
     sh = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim >= 2:
-            out[k] = jax.device_put(v, sh)
+            out[k] = put_global(v, sh)
         else:
             out[k] = v
     return out
@@ -70,9 +87,11 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 def replicate_state(state, mesh: Mesh):
     """Replicate a train state pytree across the mesh (params fit on one chip here;
-    a ``model`` TP axis is unnecessary at DeepLab scale — SURVEY.md §2.5)."""
+    a ``model`` TP axis is unnecessary at DeepLab scale — SURVEY.md §2.5). Works on
+    multi-process meshes: every process holds the full state, so each feeds the
+    whole array (``put_global`` replicated placement)."""
     sh = replicated(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), state)
+    return jax.tree.map(lambda a: put_global(a, sh), state)
 
 
 def initialize_multihost(coordinator: str, num_processes: int, process_id: int) -> None:

@@ -73,8 +73,7 @@ def make_adversarial_warmup_step(model, discriminator, cfg, *, lambda_adv: float
         grads, (l1, l2, adv, prob2, new_stats) = jax.grad(seg_loss_fn, has_aux=True)(
             st.model.params
         )
-        upd, opt_state = model_update(grads, st.model.opt_state, st.model.params, lr)
-        params = optax.apply_updates(st.model.params, upd)
+        params, opt_state = model_update(grads, st.model.opt_state, st.model.params, lr)
 
         def d_loss_fn(d_params):
             real = discriminator.apply({"params": d_params}, onehot)

@@ -83,7 +83,8 @@ def build_mesh(cfg: TrainConfig):
 def build_loader(cfg: TrainConfig, root: Optional[str] = None,
                  list_path: Optional[str] = None,
                  source: str = "cityscapes_pseudo",
-                 sharding=None, batch_size: Optional[int] = None) -> Iterator[Dict]:
+                 sharding=None, batch_size: Optional[int] = None,
+                 process_shard=None) -> Iterator[Dict]:
     from ..data import pipeline as pipeline_lib
 
     pipeline_lib.USE_NATIVE = cfg.data.use_native_preproc
@@ -107,6 +108,7 @@ def build_loader(cfg: TrainConfig, root: Optional[str] = None,
         num_workers=cfg.data.num_workers,
         prefetch=cfg.data.prefetch,
         process_workers=cfg.data.process_workers,
+        process_shard=process_shard,
     )
     return device_prefetch(iter(loader), size=cfg.data.prefetch, sharding=sharding)
 
@@ -176,11 +178,35 @@ def train(
             f"over {mesh.devices.size} devices"
         )
 
+    n_proc = jax.process_count()
     if batch_iter is None:
-        batch_iter = build_loader(
-            cfg, sharding=batch_shard,
-            batch_size=cfg.data.batch_size * cfg.mesh.data_axis,
-        )
+        global_bs = cfg.data.batch_size * cfg.mesh.data_axis
+        if n_proc > 1:
+            # Multi-process data parallelism: each process decodes only its
+            # 1/n_proc block of the global batch (identical index streams keep
+            # the global batch equal to the single-process run); the global
+            # array is assembled by make_array_from_process_local_data inside
+            # device_prefetch. Process boundaries must align with the data
+            # axis (the loader cannot produce partial-height spatial shards).
+            if global_bs % n_proc:
+                raise ValueError(
+                    f"global batch {global_bs} not divisible by "
+                    f"{n_proc} processes"
+                )
+            if cfg.mesh.data_axis % n_proc:
+                raise ValueError(
+                    f"data_axis {cfg.mesh.data_axis} must be a multiple of "
+                    f"process count {n_proc} (spatial shards cannot span "
+                    "process boundaries in the input path)"
+                )
+            batch_iter = build_loader(
+                cfg, sharding=batch_shard, batch_size=global_bs // n_proc,
+                process_shard=(jax.process_index(), n_proc),
+            )
+        else:
+            batch_iter = build_loader(
+                cfg, sharding=batch_shard, batch_size=global_bs,
+            )
     elif batch_shard is not None:
         # Injected iterators (tests, synthetic runs) get the same placement.
         def _sharded(it, sh):
@@ -223,9 +249,11 @@ def train(
                 k: jnp.stack([s[k] for s in subs])
                 for k in subs[0] if k in step_keys
             }
-            if mesh is not None:
+            if mesh is not None and n_proc == 1:
                 # Leading axis is the sub-batch index: shard (batch, height) on
-                # dims 1/2 instead of 0/1.
+                # dims 1/2 instead of 0/1. Multi-process runs skip the explicit
+                # re-placement: the jnp.stack of already-global sub-batches is a
+                # valid global array whose sharding GSPMD propagates from.
                 from jax.sharding import NamedSharding, PartitionSpec
                 from ..parallel import DATA_AXIS, SPATIAL_AXIS
 

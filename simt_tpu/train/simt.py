@@ -285,8 +285,11 @@ def make_simt_step(model, teacher_model, cfg):
                     "anchor": anchor,
                     "place": place,
                 }
-                # ``loss / iter_size`` before backward (:426-428); metric values are
-                # accumulated with the same 1/iter_size scale (:429-432).
+                # ``loss / iter_size`` before backward (:426-428). Metric conventions
+                # at iter_size > 1 follow the reference exactly: the seg components
+                # accumulate at 1/iter_size (:429-432) while Convex/Volume/Anchor/
+                # Place print the LAST sub-batch's unscaled loop-final values
+                # (:438-441 reads the loop variables after the sub-loop).
                 return loss / iter_size, (metrics, mutated.get("batch_stats", {}))
 
             grads = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
@@ -306,27 +309,35 @@ def make_simt_step(model, teacher_model, cfg):
             g_t2 = jnp.zeros((total, c), jnp.float32)
             metrics = None
             new_stats = st.model.batch_stats
+            # Reference metric conventions (:429-441): seg losses (and the composite
+            # loss, for our CSV) accumulate at 1/iter_size; the NTM components are
+            # the loop-final (last sub-batch) values, unscaled.
+            _ACCUM = ("loss", "loss_seg_p", "loss_seg_y")
             for i in range(iter_size):
                 sub = jax.tree.map(lambda a: a[i], batch)
                 (sg_train, sg_t1, sg_t2), (m, new_stats) = one_subbatch(sub, new_stats)
                 g_train = jax.tree.map(jnp.add, g_train, sg_train)
                 g_t1, g_t2 = g_t1 + sg_t1, g_t2 + sg_t2
-                m = {k: v / iter_size for k, v in m.items()}
-                metrics = m if metrics is None else {
-                    k: metrics[k] + m[k] for k in metrics
-                }
+                if metrics is None:
+                    metrics = {
+                        k: (v / iter_size if k in _ACCUM else v) for k, v in m.items()
+                    }
+                else:
+                    metrics = {
+                        k: (metrics[k] + m[k] / iter_size if k in _ACCUM else m[k])
+                        for k in metrics
+                    }
 
         # The inner-loop T grads add to the main-loss T grads (the reference quirk
         # documented above); they are NOT scaled by iter_size (:337 vs :427).
         g_t1 = g_t1 + g_t1_inner
         g_t2 = g_t2 + g_t2_inner
-        # Zero-fill frozen entries so the optimizer sees the full tree (it masks them).
-        g_model = merge_params(
-            g_train, jax.tree.map(jnp.zeros_like, frozen_params)
+        # The optimizer partitions statically: it reads only the trainable leaves of
+        # the grad tree, and frozen params pass through by reference (no HBM pass).
+        params, opt_state = model_update(
+            traverse_util.unflatten_dict(g_train), st.model.opt_state,
+            st.model.params, lr,
         )
-
-        upd, opt_state = model_update(g_model, st.model.opt_state, st.model.params, lr)
-        params = optax.apply_updates(st.model.params, upd)
         u1, s1 = adam_update(g_t1, st.t1.opt_state, st.t1.param, lr_t)
         u2, s2 = adam_update(g_t2, st.t2.opt_state, st.t2.param, lr_t)
 

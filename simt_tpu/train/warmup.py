@@ -13,7 +13,6 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..data.pipeline import normalize_image, normalize_label
 from ..ops.fused_losses import upsample_ce
@@ -92,8 +91,9 @@ def make_warmup_step(model, cfg):
         # Data-parallel gradient sync happens automatically under pjit sharding; no
         # explicit collective needed here.
         lr = poly_lr(cfg.optim.learning_rate, st.step, cfg.optim.num_steps, cfg.optim.power)
-        updates, opt_state = update_fn(grads, st.model.opt_state, st.model.params, lr)
-        params = optax.apply_updates(st.model.params, updates)
+        # Statically-partitioned update: frozen leaves (BN affine, unused ASPP
+        # branches) pass through untouched; their grads are dead values XLA removes.
+        params, opt_state = update_fn(grads, st.model.opt_state, st.model.params, lr)
         new_state = state_lib.WarmupState(
             model=state_lib.ModelState(
                 params=params, batch_stats=new_stats, opt_state=opt_state

@@ -212,10 +212,15 @@ def run_torch_iteration(x1s, x2s, teachs, labels, t1_init, t2_init, w_init_np,
         loss = loss / iter_size  # (:426-428)
         loss.backward()
 
-        for k, v in (("loss_seg_p", loss_p1 + loss_p2), ("loss_seg_y", loss_y1 + loss_y2),
-                     ("convex", convex), ("volume", volume), ("anchor", anchor),
-                     ("place", place), ("loss", loss * iter_size)):
+        # Reference metric conventions: the seg components accumulate at
+        # 1/iter_size (:429-432); Convex/Volume/Anchor/Place are the loop variables
+        # read AFTER the sub-loop (:438-441) — last sub-batch, unscaled.
+        for k, v in (("loss_seg_p", loss_p1 + loss_p2),
+                     ("loss_seg_y", loss_y1 + loss_y2), ("loss", loss * iter_size)):
             acc[k] += float(v) / iter_size  # (:429-432)
+        for k, v in (("convex", convex), ("volume", volume), ("anchor", anchor),
+                     ("place", place)):
+            acc[k] = float(v)  # loop-final, unscaled (:438-441)
 
     opt_t1.step()
     opt_t2.step()  # (:434-436); W opts stepped only in the inner loop

@@ -203,8 +203,8 @@ def main():
     @jax.jit
     def opt_step(params, opt_state):
         g = jax.tree.map(jnp.zeros_like, params)
-        upd, os2 = model_update(g, opt_state, params, 1e-4)
-        return optax.apply_updates(params, upd)
+        new_params, os2 = model_update(g, opt_state, params, 1e-4)
+        return new_params
 
     timeit("model SGD update (zero grads)", opt_step,
            state.model.params, state.model.opt_state)

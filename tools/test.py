@@ -55,7 +55,7 @@ def main():
     miou = evaluate(
         model, variables,
         data_root=cfg.data.root if paths is None else paths["root"],
-        val_list=val_list, gt_dir=gt_dir, mode=args.mode,
+        val_list=val_list, gt_dir=gt_dir, mode=args.mode, process_workers=cfg.data.process_workers,
         batch_size=cfg.data.batch_size, save_dir=args.save_dir, **eval_kw,
     )
     print("Finish Evaluation: " + time.asctime(time.localtime(time.time())))

@@ -83,7 +83,7 @@ def main():
             return evaluate(
                 model, variables,
                 data_root=cfg.data.root if paths is None else paths["root"],
-                val_list=val_list, gt_dir=gt_dir, mode="warmup",
+                val_list=val_list, gt_dir=gt_dir, mode="warmup", process_workers=cfg.data.process_workers,
                 batch_size=cfg.data.batch_size, **eval_kw,
             )
 
