@@ -12,6 +12,10 @@ Modes:
                                resolution -> threaded Loader + native preproc +
                                device_prefetch -> train step (proves the host input
                                pipeline sustains the device rate)
+  python bench.py --pipeline --crop-cache
+                               same, with the decoded-crop cache enabled
+                               (DataConfig.crop_cache_dir): epoch 1 populates it,
+                               the timed window runs decode-free
 """
 
 import json
@@ -120,6 +124,7 @@ def main_pipeline():
     (trainV2_simt.py:287-292)."""
     _enable_compilation_cache()
     import dataclasses
+    import os
     import shutil
     import tempfile
 
@@ -132,9 +137,12 @@ def main_pipeline():
     try:
         paths = make_cityscapes_fixture(root, n_train=12, n_val=0,
                                         image_wh=(2048, 1024), seed=0)
+        crop_cache = os.path.join(root, "crop_cache") if "--crop-cache" in sys.argv \
+            else ""
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, root=root, list_path=paths["pseudo_lst"],
             crop_size=(hw[1], hw[0]),  # (w, h)
+            crop_cache_dir=crop_cache,
         ))
         raw_it = build_loader(cfg)
         step_keys = ("image", "label", "teacher_prob8")
@@ -143,7 +151,8 @@ def main_pipeline():
             b = next(raw_it)
             return {k: v for k, v in b.items() if k in step_keys}
 
-        for _ in range(3):
+        warm = 14 if "--crop-cache" in sys.argv else 3  # cover epoch 1 (12 imgs)
+        for _ in range(warm):
             state, metrics = step(state, it_())
         float(metrics["loss"])
 
@@ -160,7 +169,8 @@ def main_pipeline():
     print(
         json.dumps(
             {
-                "metric": "simt_train_steps_per_sec_bs1_512x1024_with_input_pipeline",
+                "metric": "simt_train_steps_per_sec_bs1_512x1024_with_input_pipeline"
+                          + ("_crop_cache" if "--crop-cache" in sys.argv else ""),
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),

@@ -25,7 +25,9 @@ def main():
     import jax.numpy as jnp
 
     from simt_tpu.models.layers import Bottleneck
-    from simt_tpu.ops.pallas.bottleneck import fused_bottleneck
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bottleneck import fused_bottleneck
 
     print(f"backend={jax.default_backend()} geometry=({h},{w},{trunk}) "
           f"planes={planes} d={d}")

@@ -1,4 +1,6 @@
-"""Fused Pallas bottleneck (ops/pallas/bottleneck.py) vs the plain-jnp reference.
+"""Fused Pallas bottleneck (experiments/pallas_bottleneck) vs the plain-jnp reference.
+
+Run from the repo root: python -m pytest experiments/pallas_bottleneck -q
 
 Runs in interpret mode on CPU at small shapes; covers the forward values, the batch
 stats, and every gradient (input, three conv kernels, six BN affine params) against
@@ -10,7 +12,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from simt_tpu.ops.pallas.bottleneck import (
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bottleneck import (
     fused_bottleneck,
     reference_bottleneck,
 )

@@ -43,6 +43,9 @@ class DataConfig:
     # Decode in spawned worker processes (the reference's torch-DataLoader model;
     # Pillow holds the GIL during PNG decode so THREAD workers scale negatively).
     process_workers: bool = True
+    # Opt-in on-disk cache of decoded+resized crops (data/pipeline.py CropCache):
+    # epochs >= 2 become PNG-decode-free (~1.6 MB/image at 1024x512). "" disables.
+    crop_cache_dir: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +98,12 @@ class SimTConfig:
     # step like the reference (train/teacher_cache.py). Off by default: cached entries
     # are float16-rounded, so this is throughput-for-exactness opt-in.
     cache_teacher: bool = False
+    # Output-row chunk of the streamed loss block (ops/fused_losses.py). Purely a
+    # scheduling knob (the math is chunk-invariant). Measured on v5e at the 512x1024
+    # reference geometry (full step, idle host): 64 -> 35.5 ms, 128 -> 36.2 ms,
+    # 256 -> 38.3 ms — bigger chunks lose (larger live upsample buffers evict the
+    # backward's working set), so the default stays 64.
+    loss_chunk_rows: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

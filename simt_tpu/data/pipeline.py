@@ -165,6 +165,54 @@ class Sample:
     gta5_remap: bool = False
 
 
+class CropCache:
+    """On-disk cache of decoded+resized UN-MIRRORED uint8 crops.
+
+    Training revisits each of the 2,975 Cityscapes images ~13x over a 40k-iter run
+    (the reference re-decodes the PNG every epoch, cityscapes_dataset.py:97-120);
+    PNG decode + bicubic resize dominates host cost (~135 ms/image on a 1-core
+    host). The cache stores the post-resize wire tensors — image: HWC uint8 BGR
+    (~1.6 MB at 1024x512), label: HW uint8 trainids (GTA5 remap applied) — so every
+    epoch after the first is decode-free. The horizontal mirror happens AFTER the
+    resize in the reference (:105,111-114), so flipping the cached crop is exactly
+    equal to decoding with mirror; cached and uncached paths are bit-identical
+    (tests/test_data.py).
+
+    Files are written atomically (tmp + os.replace), so concurrent loader workers
+    (threads or processes) race benignly: last write wins with identical content.
+    """
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _key(self, path: str, crop_wh: Tuple[int, int], kind: str) -> str:
+        import hashlib
+
+        h = hashlib.sha1(
+            f"{os.path.abspath(path)}|{crop_wh[0]}x{crop_wh[1]}|{kind}".encode()
+        ).hexdigest()[:24]
+        return os.path.join(self.cache_dir, f"{h}_{kind}.npy")
+
+    def get_or_put(self, path: str, crop_wh: Tuple[int, int], kind: str,
+                   compute) -> np.ndarray:
+        fname = self._key(path, crop_wh, kind)
+        if os.path.exists(fname):
+            try:
+                return np.load(fname)
+            except Exception:
+                pass  # truncated by a crashed writer: recompute + rewrite
+        arr = compute()
+        tmp = f"{fname}.{os.getpid()}.tmp.npy"  # .npy suffix: np.save appends none
+        try:
+            np.save(tmp, arr)
+            os.replace(tmp, fname)
+        except OSError:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return arr
+
+
 class SegDataset:
     """Unified dataset over the three reference loader flavours.
 
@@ -175,14 +223,31 @@ class SegDataset:
     """
 
     def __init__(self, samples: List[Sample], crop_wh: Tuple[int, int],
-                 mean_bgr: Sequence[float], mirror: bool = False):
+                 mean_bgr: Sequence[float], mirror: bool = False,
+                 cache_dir: str = ""):
         self.samples = samples
         self.crop_wh = crop_wh
         self.mean_bgr = tuple(mean_bgr)
         self.mirror = mirror
+        # Opt-in decoded-crop cache (DataConfig.crop_cache_dir); "" disables.
+        self.cache_dir = cache_dir
+        self._cache = CropCache(cache_dir) if cache_dir else None
+
+    def __getstate__(self):
+        # CropCache holds no open handles, but rebuild it worker-side so spawned
+        # process workers (re)create the directory in their own context.
+        st = dict(self.__dict__)
+        st["_cache"] = None
+        return st
+
+    def __setstate__(self, st):
+        self.__dict__.update(st)
+        if self.cache_dir:
+            self._cache = CropCache(self.cache_dir)
 
     @classmethod
-    def cityscapes_pseudo(cls, root: str, list_path: str, crop_wh, mean_bgr, mirror=False):
+    def cityscapes_pseudo(cls, root: str, list_path: str, crop_wh, mean_bgr,
+                          mirror=False, cache_dir=""):
         samples = [
             Sample(
                 image_path=os.path.join(root, img),
@@ -191,7 +256,7 @@ class SegDataset:
             )
             for img, lab in lists.read_pair_list(list_path)
         ]
-        return cls(samples, crop_wh, mean_bgr, mirror)
+        return cls(samples, crop_wh, mean_bgr, mirror, cache_dir=cache_dir)
 
     @classmethod
     def cityscapes_eval(cls, root: str, list_path: str, crop_wh, mean_bgr, split="val"):
@@ -202,7 +267,8 @@ class SegDataset:
         return cls(samples, crop_wh, mean_bgr, mirror=False)
 
     @classmethod
-    def gta5(cls, root: str, list_path: str, crop_wh, mean_bgr, mirror=False):
+    def gta5(cls, root: str, list_path: str, crop_wh, mean_bgr, mirror=False,
+             cache_dir=""):
         samples = [
             Sample(
                 image_path=os.path.join(root, "images", name),
@@ -212,7 +278,7 @@ class SegDataset:
             )
             for name in lists.read_name_list(list_path)
         ]
-        return cls(samples, crop_wh, mean_bgr, mirror)
+        return cls(samples, crop_wh, mean_bgr, mirror, cache_dir=cache_dir)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -220,19 +286,40 @@ class SegDataset:
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict:
         s = self.samples[index]
         mirror = bool(self.mirror and rng is not None and rng.integers(2) == 1)
-        image = load_image_bgr_u8(s.image_path, self.crop_wh, mirror=mirror)
+        if self._cache is not None:
+            # Cache the UN-mirrored resized crop; the mirror is a post-resize width
+            # flip in the reference (cityscapes_dataset.py:105,111-114), so flipping
+            # the cached array is bit-identical to decoding with mirror=True.
+            image = self._cache.get_or_put(
+                s.image_path, self.crop_wh, "img",
+                lambda: load_image_bgr_u8(s.image_path, self.crop_wh, mirror=False),
+            )
+            if mirror:
+                image = image[:, ::-1]
+        else:
+            image = load_image_bgr_u8(s.image_path, self.crop_wh, mirror=mirror)
         label = None
         if s.label_path is not None:
-            label = load_label(s.label_path, self.crop_wh)
-            if s.gta5_remap:
-                label = remap_gta5_ids(label)
+            if self._cache is not None:
+                label = self._cache.get_or_put(
+                    s.label_path, self.crop_wh, "lab", lambda: self._load_label(s)
+                )
+            else:
+                label = self._load_label(s)
             if mirror:
                 label = label[:, ::-1]
         out = {"image": np.ascontiguousarray(image), "name": s.name, "mirror": mirror}
         if label is not None:
-            # uint8 wire format (ids are <= 255); consumers cast on device.
-            out["label"] = np.ascontiguousarray(label.astype(np.uint8))
+            out["label"] = np.ascontiguousarray(label)
         return out
+
+    def _load_label(self, s: Sample) -> np.ndarray:
+        """Nearest-resized label as uint8 wire format (ids <= 255, incl. 255
+        ignore); GTA5 id remap applied pre-cache."""
+        label = load_label(s.label_path, self.crop_wh)
+        if s.gta5_remap:
+            label = remap_gta5_ids(label)
+        return label.astype(np.uint8)
 
 
 _WORKER_DS = None

@@ -229,15 +229,17 @@ def aspp_apply(
     """Sum of the first ``effective_branches`` dilated convs (the reference's
     early-return quirk, deeplab_multi.py:115-119). Branch sum + bias in float32 (MXU
     accumulates bf16 matmuls in f32 internally; the cross-branch reduction shouldn't
-    re-round to bf16)."""
-    from ..ops.conv import dilated_conv3x3_taps
+    re-round to bf16).
 
-    out = None
-    for i, d in enumerate(dilations[:effective_branches]):
-        y = dilated_conv3x3_taps(x.astype(dtype), kernels[i].astype(dtype), d)
-        y = y.astype(jnp.float32) + biases[i]
-        out = y if out is None else out + y
-    return out.astype(dtype)
+    Implementation: ``aspp_sum_wide`` merges all (tap x branch) channel GEMMs into
+    one full-lane-width dot (ops/conv.py) — the N=34 per-branch GEMMs of the per-tap
+    path waste 73% of every MXU output tile and contract K=34 in the backward."""
+    from ..ops.conv import aspp_sum_wide
+
+    return aspp_sum_wide(
+        x, list(kernels[:effective_branches]), list(biases[:effective_branches]),
+        list(dilations[:effective_branches]), dtype=dtype,
+    )
 
 
 class ASPPHead(nn.Module):

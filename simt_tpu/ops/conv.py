@@ -128,3 +128,55 @@ def _taps_bwd(d, res, g):
 
 
 dilated_conv3x3_taps.defvjp(_taps_fwd, _taps_bwd)
+
+
+def aspp_sum_wide(x, kernels, biases, dilations, dtype=jnp.bfloat16):
+    """Weight-summed dilated-3x3 ASPP branches with ALL channel GEMMs merged into
+    ONE dot (the head of model/deeplab_multi.py:104-119, perf formulation).
+
+    Each head branch GEMM has N = num_classes+open (34 in the SimT configuration) —
+    27% of one 128-lane MXU tile, and its autodiff dx/dw GEMMs contract K=34 (27% of
+    the MXU's reduction depth). Merging the 9 taps x B branches along the output
+    dimension yields a single (C, 9*sum N_b) contraction (N=612 for the two-branch
+    openset head) at full lane utilization; autodiff's dx/dw become single K=612 /
+    N=612 GEMMs. Taps are recombined by padded shift-adds over disjoint channel
+    blocks — pure slices XLA fuses. Measured on v5e: full SimT step 35.6 -> 31.7 ms
+    (28.0 -> 31.5 steps/s) when the heads switched from the per-tap path to this
+    (GEMM-fusion category 23.4 -> 19.4 ms in the step trace).
+
+    Values match the per-tap path (``aspp_apply``'s dilated_conv3x3_taps sum): the
+    per-branch f32 tap accumulation happens in the same (kh, kw) order, each branch
+    rounds to ``dtype`` before the cross-branch f32 + bias sum, exactly like
+    models/layers.py aspp_apply. Gradient reduction ORDER differs (one wide GEMM vs
+    9 small ones), so grads match to float round-off, not bitwise.
+    """
+    b, h, w, c = x.shape
+    xb = x.astype(dtype)
+    ns = [k.shape[-1] for k in kernels]
+    w_all = jnp.concatenate(
+        [k.astype(dtype).reshape(9, c, n).transpose(1, 0, 2).reshape(c, 9 * n)
+         for k, n in zip(kernels, ns)],
+        axis=-1,
+    )
+    z = jax.lax.dot_general(
+        xb, w_all, dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, H, W, 9*sum N_b) f32 — the per-tap pre-shift products
+    out = None
+    off = 0
+    for bias, n, d in zip(biases, ns, dilations):
+        zb = jax.lax.slice(z, (0, 0, 0, off), (b, h, w, off + 9 * n))
+        off += 9 * n
+        zp = jnp.pad(zb, ((0, 0), (d, d), (d, d), (0, 0)))
+        acc = None
+        for kh in range(3):
+            for kw in range(3):
+                t = kh * 3 + kw
+                sl = jax.lax.slice(
+                    zp, (0, kh * d, kw * d, t * n),
+                    (b, kh * d + h, kw * d + w, (t + 1) * n),
+                )
+                acc = sl if acc is None else acc + sl
+        y = acc.astype(dtype).astype(jnp.float32) + bias
+        out = y if out is None else out + y
+    return out.astype(dtype)

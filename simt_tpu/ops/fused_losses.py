@@ -117,8 +117,9 @@ def simt_loss_block(
     teacher_prob8 = teacher_prob8.astype(jnp.float32)
     iota_t = jnp.arange(total)[None, :, None]
 
-    def head_chunk_losses(pred, refined, label_c, tm):
-        """Per-head local sums on (B, C+O, P) tiles.
+    def head_chunk_losses(pred, refined, label_c, tm, pseudo):
+        """Per-head local sums on (B, C+O, P) tiles. ``pseudo`` is the per-pixel
+        argmax (computed once per head in ``body``, shared with the anchor carry).
 
         Returns (ce_s, ce_n, known_s, known_n, unk_s, unk_n, y_s, y_n).
         """
@@ -128,7 +129,6 @@ def simt_loss_block(
         # Placeholder loss (:202-230) — the zeros-multiplied suppression (value 0).
         mx = jnp.max(pred, axis=1)
         den = jnp.sum(jnp.exp(pred - mx[:, None, :]), axis=1)
-        pseudo = jnp.argmax(pred, axis=1)  # (B,P)
         onehot_arg = iota_t == pseudo[:, None, :]
         predict = jnp.where(onehot_arg, 0.0, pred)
         pred_max = jnp.exp(jnp.max(pred, axis=1) - mx) / den  # softmax max
@@ -150,30 +150,32 @@ def simt_loss_block(
         y_n = jnp.sum(valid)
         return (ce_s, ce_n, known_s, known_n, unk_s, unk_n, y_s, y_n)
 
-    def anchor_carry(pred, tch, max_v, rows_v, exist_v):
-        """(:374-384): running per-channel max of detached logits + the teacher
-        posterior at the max pixel; strict > keeps the first occurrence. Operates on
-        (B,C+O,P) reshaped to (C+O, B*P) — batch-major pixel order matches the
-        reference's flatten."""
+    rows_w = rows * ww  # pixels per image per chunk
+
+    def anchor_carry(pred, pseudo, chunk_idx, max_v, idx_v, exist_v):
+        """(:374-384): running per-channel max of detached logits + the GLOBAL
+        batch-major flat index of the max pixel; strict > keeps the first
+        occurrence. The teacher posterior rows at the winning indices are
+        recomputed ONCE after the scan (``teacher_rows_at``) instead of being
+        gathered per chunk — the per-chunk one-hot gather matmul was ~1 ms/step."""
         flat = jnp.moveaxis(jax.lax.stop_gradient(pred), 1, 0).reshape(total, -1)
-        tflat = jnp.moveaxis(jax.lax.stop_gradient(tch), 1, 0).reshape(c, -1)
         cand_max = jnp.max(flat, axis=1)
-        idx = jnp.argmax(flat, axis=1)  # (C+O,) pixel index per channel
-        # Gather teacher rows at idx via a one-hot matmul (no TPU gather).
-        sel = (idx[:, None] == jnp.arange(flat.shape[1])[None, :]).astype(jnp.float32)
-        cand_rows = jnp.einsum("tp,cp->tc", sel, tflat, precision=prec,
-                               preferred_element_type=jnp.float32)
+        loc = jnp.argmax(flat, axis=1)  # (C+O,) index into (B, rows*W)
+        bi = loc // rows_w
+        within = loc % rows_w
+        glob = bi * (hh * ww) + chunk_idx * rows_w + within
         better = cand_max > max_v
         new_max = jnp.where(better, cand_max, max_v)
-        new_rows = jnp.where(better[:, None], cand_rows, rows_v)
+        new_idx = jnp.where(better, glob.astype(jnp.int32), idx_v)
         # Per-class presence: max-reduce of the per-pixel argmax one-hot.
-        amax = jnp.argmax(flat, axis=0)  # (B*P,)
-        ex = jnp.max((jnp.arange(total)[:, None] == amax[None, :]).astype(jnp.float32),
-                     axis=1)
-        return new_max, new_rows, jnp.maximum(exist_v, ex)
+        ex = jnp.max(
+            (jnp.arange(total)[:, None] == pseudo.reshape(1, -1)).astype(jnp.float32),
+            axis=1,
+        )
+        return new_max, new_idx, jnp.maximum(exist_v, ex)
 
     def body(carry, inp):
-        a_h_c, label_c = inp
+        a_h_c, label_c, chunk_idx = inp
         label_c = label_c.reshape(b, -1)  # (B, rows*W)
         pred1 = _upsample_chunk_cf(x1, a_h_c, a_w, prec)
         pred2 = _upsample_chunk_cf(x2, a_h_c, a_w, prec)
@@ -186,38 +188,58 @@ def simt_loss_block(
         conf = jnp.where(tmax < threshold_low, c, conf)
 
         # Class-posterior refinement (:387-393) — uses head-2's argmax.
+        pseudo1 = jnp.argmax(pred1, axis=1)
         pseudo2 = jnp.argmax(pred2, axis=1)
         unk = conf == c
         p1_ = jnp.where(unk, pseudo2, 0)
         p1_ = jnp.where(p1_ >= c, p1_, ignore_label)
         refined = jnp.where(unk, p1_, conf)
 
-        h1 = head_chunk_losses(pred1, refined, label_c, t1m)
-        h2 = head_chunk_losses(pred2, refined, label_c, t2m)
+        h1 = head_chunk_losses(pred1, refined, label_c, t1m, pseudo1)
+        h2 = head_chunk_losses(pred2, refined, label_c, t2m, pseudo2)
 
-        (m1, r1, e1, m2, r2, e2, acc) = carry
-        m1, r1, e1 = anchor_carry(pred1, tch, m1, r1, e1)
-        m2, r2, e2 = anchor_carry(pred2, tch, m2, r2, e2)
+        (m1, i1, e1, m2, i2, e2, acc) = carry
+        m1, i1, e1 = anchor_carry(pred1, pseudo1, chunk_idx, m1, i1, e1)
+        m2, i2, e2 = anchor_carry(pred2, pseudo2, chunk_idx, m2, i2, e2)
         acc = tuple(
             a + jnp.asarray(v, jnp.float32) for a, v in zip(acc, h1 + h2)
         )
-        return (m1, r1, e1, m2, r2, e2, acc), None
+        return (m1, i1, e1, m2, i2, e2, acc), None
 
     neg = jnp.full((total,), -jnp.inf, jnp.float32)
-    zrows = jnp.zeros((total, c), jnp.float32)
+    zidx = jnp.zeros((total,), jnp.int32)
     zex = jnp.zeros((total,), jnp.float32)
     acc0 = tuple(jnp.zeros((), jnp.float32) for _ in range(16))
-    carry0 = (neg, zrows, zex, neg, zrows, zex, acc0)
+    carry0 = (neg, zidx, zex, neg, zidx, zex, acc0)
 
     # Deliberately a rolled scan: full unrolling was measured ~1 ms SLOWER per step
     # on v5e (the unrolled chunks' buffers stop XLA reusing the while-body allocation
-    # and add copies), despite removing the loop overhead.
+    # and add copies), despite removing the loop overhead; scan(unroll=2) was
+    # neutral and unroll=4 lost ~1.9 ms (round-3 measurement).
     carry, _ = jax.lax.scan(
-        jax.checkpoint(body), carry0, (a_h_chunks, label_chunks)
+        jax.checkpoint(body), carry0,
+        (a_h_chunks, label_chunks, jnp.arange(n_chunks, dtype=jnp.int32)),
     )
-    m1, r1, e1, m2, r2, e2, acc = carry
+    m1, i1, e1, m2, i2, e2, acc = carry
     (ce1_s, ce1_n, k1_s, k1_n, u1_s, u1_n, y1_s, y1_n,
      ce2_s, ce2_n, k2_s, k2_n, u2_s, u2_n, y2_s, y2_n) = acc
+
+    def teacher_rows_at(glob_idx):
+        """Upsampled teacher posterior rows at 34 global pixels — the same
+        (h-then-w) f32 contraction the in-scan chunks used, evaluated only at the
+        winning anchor pixels (bit-identical per-element reduction order)."""
+        bi = glob_idx // (hh * ww)
+        rem = glob_idx % (hh * ww)
+        ah = a_h[rem // ww]  # (C+O, h8)
+        aw = a_w[rem % ww]  # (C+O, w8)
+        tb = teacher_prob8[bi]  # (C+O, h8, w8, C)
+        z = jnp.einsum("th,thwc->twc", ah, tb, precision=prec,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("tw,twc->tc", aw, z, precision=prec,
+                          preferred_element_type=jnp.float32)
+
+    r1 = teacher_rows_at(i1)
+    r2 = teacher_rows_at(i2)
 
     loss_p1 = _finish_mean(ce1_s, ce1_n)
     loss_p2 = _finish_mean(ce2_s, ce2_n)

@@ -99,6 +99,7 @@ def build_loader(cfg: TrainConfig, root: Optional[str] = None,
         crop_wh=cfg.data.crop_size,
         mean_bgr=cfg.data.mean_bgr,
         mirror=cfg.data.mirror,
+        cache_dir=cfg.data.crop_cache_dir,
     )
     loader = Loader(
         ds,

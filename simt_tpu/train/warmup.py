@@ -66,8 +66,10 @@ def make_warmup_step(model, cfg):
                 )
                 # Streamed upsample+CE (trainV1_warmup.py:219-224, flash-style);
                 # loss / iter_size before backward (:226-227).
-                l1 = upsample_ce(x1, label, ignore_label=ignore)
-                l2 = upsample_ce(x2, label, ignore_label=ignore)
+                l1 = upsample_ce(x1, label, ignore_label=ignore,
+                                 chunk_rows=cfg.simt.loss_chunk_rows)
+                l2 = upsample_ce(x2, label, ignore_label=ignore,
+                                 chunk_rows=cfg.simt.loss_chunk_rows)
                 return (l2 + lambda_seg * l1) / iter_size, (
                     l1, l2, mutated.get("batch_stats", {})
                 )

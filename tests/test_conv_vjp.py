@@ -76,3 +76,42 @@ def test_conv_vjp_grad_through_composition():
     for a, b in zip(g_c, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_aspp_sum_wide_matches_tap_path():
+    """aspp_sum_wide (merged-N head formulation) == per-branch tap sum, values and
+    grads (grad reduction order differs -> float tolerance, not bitwise)."""
+    import jax
+
+    from simt_tpu.ops.conv import aspp_sum_wide, dilated_conv3x3_taps
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 9, 11, 16).astype(np.float32))
+    ks = [jnp.asarray(rng.randn(3, 3, 16, 5).astype(np.float32)) for _ in range(2)]
+    bs = [jnp.asarray(rng.randn(5).astype(np.float32)) for _ in range(2)]
+    dils = [2, 3]
+
+    def tap_path(x, ks, bs):
+        out = None
+        for k, b, d in zip(ks, bs, dils):
+            y = dilated_conv3x3_taps(x, k, d).astype(jnp.float32) + b
+            out = y if out is None else out + y
+        return out
+
+    def wide_path(x, ks, bs):
+        return aspp_sum_wide(x, ks, bs, dils, dtype=jnp.float32)
+
+    want = tap_path(x, ks, bs)
+    got = wide_path(x, ks, bs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+    def loss(fn):
+        return lambda x, ks, bs: jnp.sum(fn(x, ks, bs).astype(jnp.float32) ** 2)
+
+    g_want = jax.grad(loss(tap_path), argnums=(0, 1, 2))(x, ks, bs)
+    g_got = jax.grad(loss(wide_path), argnums=(0, 1, 2))(x, ks, bs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_want),
+                    jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-4)

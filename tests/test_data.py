@@ -136,3 +136,49 @@ def test_process_workers_match_threads(fixture_root):
         assert a["name"] == b["name"]
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_crop_cache_bit_identical(fixture_root, tmp_path):
+    """CropCache path (cold + warm) must be bit-identical to direct decode, incl.
+    the mirror (a post-resize width flip, so flipping the cached crop is exact)."""
+    kw = dict(crop_wh=(32, 16), mean_bgr=IMG_MEAN_BGR, mirror=True)
+    plain = SegDataset.cityscapes_pseudo(
+        fixture_root["root"], fixture_root["pseudo_lst"], **kw)
+    cached = SegDataset.cityscapes_pseudo(
+        fixture_root["root"], fixture_root["pseudo_lst"],
+        cache_dir=str(tmp_path / "crop_cache"), **kw)
+
+    for pass_no in range(2):  # pass 0 populates, pass 1 reads the cache
+        for i in range(len(plain)):
+            for seed in (0, 1, 7):  # cover both mirror outcomes
+                rng_a = np.random.default_rng(seed)
+                rng_b = np.random.default_rng(seed)
+                a = plain.get(i, rng_a)
+                b = cached.get(i, rng_b)
+                assert a["mirror"] == b["mirror"]
+                np.testing.assert_array_equal(a["image"], b["image"])
+                np.testing.assert_array_equal(a["label"], b["label"])
+    # The cache actually has entries (both kinds).
+    import glob
+    files = glob.glob(str(tmp_path / "crop_cache" / "*.npy"))
+    assert len(files) == 2 * len(plain), files
+
+
+def test_crop_cache_gta5_remap_applied(tmp_path):
+    """GTA5 id remap happens pre-cache; cached labels are trainids."""
+    from PIL import Image
+
+    root = tmp_path / "gta"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    img = np.random.default_rng(0).integers(0, 256, (16, 32, 3), np.uint8)
+    lab = np.full((16, 32), 7, np.uint8)  # GTA5 id 7 -> trainid 0 (road)
+    Image.fromarray(img).save(root / "images" / "a.png")
+    Image.fromarray(lab, mode="L").save(root / "labels" / "a.png")
+    lst = root / "train.txt"
+    lst.write_text("a.png\n")
+    ds = SegDataset.gta5(str(root), str(lst), crop_wh=(32, 16),
+                         mean_bgr=IMG_MEAN_BGR, cache_dir=str(tmp_path / "cc"))
+    for _ in range(2):  # decode pass + cache pass
+        item = ds.get(0)
+        assert (item["label"] == 0).all()

@@ -107,21 +107,44 @@ def test_loop_level_mesh_training_matches_single_device(tmp_path):
     base = base.replace(
         data=dataclasses.replace(base.data, batch_size=2)
     )
-    lines_single, lines_mesh = [], []
-    out1 = train(base, batch_iter=batches(), eval_fn=None,
-                 print_fn=lines_single.append, max_steps=3)
-    meshed = base.replace(mesh=MeshConfig(data_axis=2, spatial_axis=2))
-    out2 = train(meshed, batch_iter=batches(), eval_fn=None,
-                 print_fn=lines_mesh.append, max_steps=3)
 
-    assert any("mesh: data=2 spatial=2" in l for l in lines_mesh)
-    # First-step metric lines must match exactly-to-print (same state, same batch).
-    assert lines_single[1] == lines_mesh[2], (lines_single[1], lines_mesh[2])
-    # Across 3 steps the CONTINUOUS losses track tightly. The anchor loss (and hence
-    # the total) is argmax-discontinuous: a last-ulp conv difference between sharded
-    # and unsharded reduction orders can select a different anchor pixel, which is
-    # inherent to cross-device reductions, not a wiring bug.
-    for k in ("loss_seg_y", "convex", "volume"):
-        a = out1["final_metrics"][k]
-        b = out2["final_metrics"][k]
-        assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (k, a, b)
+    def parse(line):
+        """'iter = ...' -> {metric: float} (the exact reference print format)."""
+        import re
+
+        pat = (r"loss_seg_p = (\S+) loss_seg_y = (\S+) Convex = (\S+) "
+               r"Volume = (\S+) Anchor = (\S+) Place_loss = (\S+)")
+        m = re.search(pat, line)
+        assert m, line
+        keys = ("loss_seg_p", "loss_seg_y", "convex", "volume", "anchor", "place")
+        return dict(zip(keys, map(float, m.groups())))
+
+    lines_single = []
+    train(base, batch_iter=batches(), eval_fn=None,
+          print_fn=lines_single.append, max_steps=3)
+    steps_single = [parse(l) for l in lines_single if l.startswith("iter =")]
+    assert len(steps_single) == 3
+
+    for mesh_cfg in (MeshConfig(data_axis=2, spatial_axis=2),
+                     MeshConfig(data_axis=1, spatial_axis=8)):
+        lines_mesh = []
+        train(base.replace(mesh=mesh_cfg), batch_iter=batches(), eval_fn=None,
+              print_fn=lines_mesh.append, max_steps=3)
+        tag = f"mesh: data={mesh_cfg.data_axis} spatial={mesh_cfg.spatial_axis}"
+        assert any(tag in l for l in lines_mesh), tag
+        steps_mesh = [parse(l) for l in lines_mesh if l.startswith("iter =")]
+        assert len(steps_mesh) == 3
+        # First-step line must match exactly-to-print (same state, same batch).
+        assert [l for l in lines_single if l.startswith("iter =")][0] == \
+               [l for l in lines_mesh if l.startswith("iter =")][0]
+        # Every step: ALL continuous metrics track tightly. The anchor loss is
+        # argmax-discontinuous — a last-ulp conv difference between sharded and
+        # unsharded reduction orders can select a different anchor pixel (inherent
+        # to cross-device reductions, not a wiring bug; see docs/PARITY.md
+        # "sharded-anchor tie-break") — so anchor gets a loose sanity bound only.
+        for i, (a, b) in enumerate(zip(steps_single, steps_mesh)):
+            for k in ("loss_seg_p", "loss_seg_y", "convex", "volume", "place"):
+                assert abs(a[k] - b[k]) < 5e-3 * max(1.0, abs(a[k])), \
+                    (mesh_cfg, i, k, a[k], b[k])
+            assert abs(a["anchor"] - b["anchor"]) < 0.5 * max(1.0, abs(a["anchor"])), \
+                (mesh_cfg, i, a["anchor"], b["anchor"])

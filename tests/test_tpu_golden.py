@@ -29,14 +29,16 @@ requires_tpu = pytest.mark.skipif(
     reason="TPU-only golden trace (SIMT_TEST_PLATFORM=axon,cpu to enable)",
 )
 
-# Captured 2026-08-16 on TPU v5 lite (all-GEMM conv formulation).
+# Captured 2026-08-17 on TPU v5 lite (all-GEMM convs + merged-N wide ASPP heads +
+# post-scan anchor rows; regenerated for the round-3 head-GEMM regrouping, which
+# shifts bf16 logits by ulps that step-1+ metrics amplify).
 TPU_GOLDEN = [
-    dict(loss=14.4213, loss_seg_p=15.5837, loss_seg_y=9.48584, convex=-18.4848,
-         volume=-13.0308, anchor=21.6747, place=0.352427),
-    dict(loss=2.05127, loss_seg_p=0.434687, loss_seg_y=9.28109, convex=-18.3809,
-         volume=-13.0444, anchor=11.6001, place=0.153123),
-    dict(loss=-7.42732, loss_seg_p=0.00662638, loss_seg_y=9.30981, convex=-18.2866,
-         volume=-13.0473, anchor=2.31741, place=0.0149925),
+    dict(loss=14.4211, loss_seg_p=15.5847, loss_seg_y=9.48589, convex=-18.4848,
+         volume=-13.0308, anchor=21.6747, place=0.352181),
+    dict(loss=2.26156, loss_seg_p=0.443066, loss_seg_y=9.28086, convex=-18.3809,
+         volume=-13.0444, anchor=11.7896, place=0.173163),
+    dict(loss=-7.33997, loss_seg_p=0.00888841, loss_seg_y=9.30947, convex=-18.2866,
+         volume=-13.0473, anchor=2.41988, place=0.0),
 ]
 
 

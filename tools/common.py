@@ -73,6 +73,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="dump NTM heat-maps every N iters (reference plot_NTM, "
                              "trainV2_simt.py:187-200)")
     parser.add_argument("--plot-ntm-dir", type=str, default="ntm_vis")
+    parser.add_argument("--crop-cache-dir", type=str, default=None,
+                        help="opt-in on-disk decoded-crop cache dir (epochs >= 2 "
+                             "become PNG-decode-free; data/pipeline.py CropCache)")
     parser.add_argument("--cache-teacher", action="store_true",
                         help="cache the frozen teacher's per-image posterior "
                              "(float16; skips the per-step teacher forward)")
@@ -187,6 +190,8 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
         data = dataclasses.replace(data, crop_size=(w, h))
     if args.random_mirror:
         data = dataclasses.replace(data, mirror=True)
+    if getattr(args, "crop_cache_dir", None):
+        data = dataclasses.replace(data, crop_cache_dir=args.crop_cache_dir)
 
     mesh = cfg.mesh
     if args.mesh_data is not None:

@@ -8,7 +8,8 @@ tools/trainV2_simt.py:370). This tool measures, with honest host-readback timing
   a) XLA bottleneck fwd and fwd+bwd (the current default path, models/layers.py),
   b) a pure-GEMM floor: conv1/conv3 as matmuls + conv2 as 9 static-slice GEMMs
      (what a perfect implicit-GEMM lowering would cost, ignoring BN stats plumbing),
-  c) the fused Pallas bottleneck kernel (ops/pallas/bottleneck.py) if present.
+  c) the fused Pallas bottleneck kernel (experiments/pallas_bottleneck/) — see
+     its README for measured status.
 
 Each variant is scan-chained REPS times inside one jit to amortise the ~5 ms
 dispatch floor of the tunnel.
@@ -182,9 +183,9 @@ def main():
     timeit("XLA conv_general_dilated fwd", xla_conv_chain, xc,
            flops_per_rep=gflop_c2 * 1e9)
 
-    # ---- c) fused Pallas bottleneck: see tools/bench_fused_bottleneck.py -----------
+    # ---- c) fused Pallas bottleneck: see experiments/pallas_bottleneck/ ------------
     print("\n[c] fused Pallas bottleneck: benchmarked separately "
-          "(tools/bench_fused_bottleneck.py; status in ops/pallas/bottleneck.py)")
+          "(experiments/pallas_bottleneck: bench_fused_bottleneck.py + README)")
 
 
 if __name__ == "__main__":
