@@ -47,6 +47,13 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
     logit maps never touch HBM.
     ``hist_update``: running histogram accumulation.
     """
+    # Eval uses the per-tap ASPP formulation: the merged-N wide head composed with
+    # the fused Pallas eval kernel in one two-scale program reproducibly faulted
+    # the v5e TPU worker (round-3 finding; each piece alone runs fine). Eval is
+    # forward-only, where the per-tap cost difference is small; training keeps the
+    # wide heads (models/layers.py aspp_apply docstring).
+    if hasattr(model, "aspp_wide") and model.aspp_wide:
+        model = model.clone(aspp_wide=False)
 
     def _head2(variables, image):
         """Head-2 logits; DeepLabv3 returns a single map (deeplabv3.py:129-138)."""

@@ -21,6 +21,7 @@ class DeeplabSingle(nn.Module):
     num_classes: int = 19
     layers: Sequence[int] = (3, 4, 23, 3)
     dtype: Any = jnp.bfloat16
+    aspp_wide: bool = True  # eval jits clone this off (see eval/evaluate.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
@@ -35,7 +36,8 @@ class DeeplabSingle(nn.Module):
         x = res_stage(x, 3, 256, self.layers[2], stride=1, dilation=2, **kw)
         x = res_stage(x, 4, 512, self.layers[3], stride=1, dilation=4, **kw)
         out = ASPPHead(
-            self.num_classes, effective_branches=4, dtype=self.dtype, name="layer5"
+            self.num_classes, effective_branches=4, dtype=self.dtype,
+            wide=self.aspp_wide, name="layer5"
         )(x)
         out = out.astype(jnp.float32)
         return out, out

@@ -37,6 +37,7 @@ class DeeplabVGG(nn.Module):
     num_classes: int = 19
     aspp_effective_branches: int = 2
     dtype: Any = jnp.bfloat16
+    aspp_wide: bool = True  # eval jits clone this off (see eval/evaluate.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
@@ -60,6 +61,7 @@ class DeeplabVGG(nn.Module):
             self.num_classes,
             effective_branches=self.aspp_effective_branches,
             dtype=self.dtype,
+            wide=self.aspp_wide,
             name="classifier",
         )(x)
         out = out.astype(jnp.float32)

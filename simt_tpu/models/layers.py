@@ -225,21 +225,36 @@ def aspp_apply(
     dilations: Sequence[int] = (6, 12, 18, 24),
     effective_branches: int = 2,
     dtype: Any = jnp.bfloat16,
+    wide: bool = True,
 ) -> jax.Array:
     """Sum of the first ``effective_branches`` dilated convs (the reference's
     early-return quirk, deeplab_multi.py:115-119). Branch sum + bias in float32 (MXU
     accumulates bf16 matmuls in f32 internally; the cross-branch reduction shouldn't
     re-round to bf16).
 
-    Implementation: ``aspp_sum_wide`` merges all (tap x branch) channel GEMMs into
-    one full-lane-width dot (ops/conv.py) — the N=34 per-branch GEMMs of the per-tap
-    path waste 73% of every MXU output tile and contract K=34 in the backward."""
-    from ..ops.conv import aspp_sum_wide
+    ``wide=True`` (the default, used in training) routes through ``aspp_sum_wide``
+    (ops/conv.py), which merges all (tap x branch) channel GEMMs into one
+    full-lane-width dot — the N=34 per-branch GEMMs of the per-tap path waste 73%
+    of every MXU output tile and contract K=34 in the backward. ``wide=False``
+    keeps the per-tap formulation; the EVAL jits use it because the wide graph
+    composed with the fused Pallas eval kernel in one two-scale program
+    reproducibly faulted the v5e TPU worker (round-3 finding; each piece alone is
+    fine), and eval is forward-only where the per-tap cost difference is small."""
+    if wide:
+        from ..ops.conv import aspp_sum_wide
 
-    return aspp_sum_wide(
-        x, list(kernels[:effective_branches]), list(biases[:effective_branches]),
-        list(dilations[:effective_branches]), dtype=dtype,
-    )
+        return aspp_sum_wide(
+            x, list(kernels[:effective_branches]), list(biases[:effective_branches]),
+            list(dilations[:effective_branches]), dtype=dtype,
+        )
+    from ..ops.conv import dilated_conv3x3_taps
+
+    out = None
+    for i, d in enumerate(dilations[:effective_branches]):
+        y = dilated_conv3x3_taps(x.astype(dtype), kernels[i].astype(dtype), d)
+        y = y.astype(jnp.float32) + biases[i]
+        out = y if out is None else out + y
+    return out.astype(dtype)
 
 
 class ASPPHead(nn.Module):
@@ -258,6 +273,7 @@ class ASPPHead(nn.Module):
     dilations: Sequence[int] = (6, 12, 18, 24)
     effective_branches: int = 2
     dtype: Any = jnp.bfloat16
+    wide: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -274,4 +290,5 @@ class ASPPHead(nn.Module):
         return aspp_apply(
             x, ws, bs, dilations=self.dilations,
             effective_branches=self.effective_branches, dtype=self.dtype,
+            wide=self.wide,
         )

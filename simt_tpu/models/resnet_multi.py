@@ -41,6 +41,9 @@ class ResNetMulti(nn.Module):
     layers: Sequence[int] = (3, 4, 23, 3)
     aspp_effective_branches: int = 2
     dtype: Any = jnp.bfloat16
+    # Merged-N wide ASPP heads (ops/conv.py::aspp_sum_wide). Training default; the
+    # eval jits clone the model with False (see models/layers.py aspp_apply).
+    aspp_wide: bool = True
 
     def _head(self, x: jax.Array, name: str) -> jax.Array:
         """One classifier head; in open-set mode the known/open heads' kernels are
@@ -54,7 +57,8 @@ class ResNetMulti(nn.Module):
             ws = [jnp.concatenate([w, wo], axis=-1) for w, wo in zip(ws, wso)]
             bs = [jnp.concatenate([b, bo], axis=-1) for b, bo in zip(bs, bso)]
         return aspp_apply(
-            x, ws, bs, effective_branches=self.aspp_effective_branches, dtype=self.dtype
+            x, ws, bs, effective_branches=self.aspp_effective_branches,
+            dtype=self.dtype, wide=self.aspp_wide,
         )
 
     @nn.compact
