@@ -72,7 +72,7 @@ def _setup():
     sv = jax.device_put(sv, device)
     tv = jax.device_put(tv, device)
     state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
-    step = make_simt_step(student, teacher, cfg)
+    step = make_simt_step(student, teacher, cfg, donate=True)
     return cfg, state, step, hw, batch_size
 
 

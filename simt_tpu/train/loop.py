@@ -149,14 +149,19 @@ def train(
             print_fn(f"warm-start: loaded {len(report['loaded'])} tensors from "
                      f"{cfg.restore_from} ({len(report['missing'])} missing)")
         state = create_simt_state(sv, tv, cfg, jax.random.fold_in(rng, 1))
-        step_fn = make_simt_step(student, teacher, cfg)
+        # The loop always reassigns `state`, so the old state is donated — except
+        # under --cache-teacher, whose TeacherCache holds the INITIAL state's
+        # teacher arrays across steps (donation would delete them at step 1).
+        step_fn = make_simt_step(
+            student, teacher, cfg, donate=not cfg.simt.cache_teacher
+        )
         fmt = format_simt_line
     else:
         sv, report = ckpt_lib.load_warmstart_variables(
             student, cfg.restore_from, hw, strip_prefix=6, rng=rng
         )  # k[6:] prefix-strip flavour (trainV1_warmup.py:177)
         state = create_warmup_state(student, sv, cfg)
-        step_fn = make_warmup_step(student, cfg)
+        step_fn = make_warmup_step(student, cfg, donate=True)
         fmt = format_warmup_line
 
     if resume and cfg.snapshot_dir and ckpt_lib.latest_step(cfg.snapshot_dir) is not None:

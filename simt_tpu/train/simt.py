@@ -34,6 +34,7 @@ jitted ``train_step`` containing everything the reference does per iteration:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -112,7 +113,7 @@ def _anchor_loss(pred_flat: jax.Array, t: jax.Array, teacher_flat: jax.Array) ->
     return jnp.sum(exist[:, None] * (t - anchors.astype(jnp.float32)) ** 2)
 
 
-def make_simt_step(model, teacher_model, cfg):
+def make_simt_step(model, teacher_model, cfg, donate: bool = False):
     """Build the jitted SimT train step: (state, batch) -> (state, metrics).
 
     ``model`` is the open-set student (C+O channels); ``teacher_model`` the closed-set
@@ -157,7 +158,13 @@ def make_simt_step(model, teacher_model, cfg):
 
     iter_size = cfg.optim.iter_size
 
-    @jax.jit
+    # With donate=True the old state is donated: params/opt/NTM buffers alias in
+    # place (saves the double-buffered ~350 MB of f32 state and a ~0.25 ms/step
+    # copy tail on v5e). Donation is honored on BOTH the TPU and CPU backends
+    # here, so it is opt-in: only callers that never touch a state object after
+    # stepping it (the product loops and benches, which always reassign) pass
+    # donate=True; tests and profiling tools rerun states freely by default.
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
         st: state_lib.SimTState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.SimTState, Dict[str, jax.Array]]:

@@ -9,6 +9,7 @@ iter_size per sub-batch, one optimizer step after the sub-loop).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -37,7 +38,7 @@ def create_warmup_state(model, variables, cfg) -> state_lib.WarmupState:
     )
 
 
-def make_warmup_step(model, cfg):
+def make_warmup_step(model, cfg, donate: bool = False):
     """Build the jitted warmup train step: (state, batch) -> (state, metrics)."""
     _, update_fn = state_lib.make_model_tx(
         cfg.optim.momentum,
@@ -49,7 +50,8 @@ def make_warmup_step(model, cfg):
     ignore = cfg.ignore_label
     iter_size = cfg.optim.iter_size
 
-    @jax.jit
+    # Opt-in old-state donation (see train/simt.py note).
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(
         st: state_lib.WarmupState, batch: Dict[str, jax.Array]
     ) -> Tuple[state_lib.WarmupState, Dict[str, jax.Array]]:

@@ -45,7 +45,7 @@ def main():
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), False)
     variables = jax.device_put(variables, jax.devices()[0])
     state = create_warmup_state(model, variables, cfg)
-    step = make_warmup_step(model, cfg)
+    step = make_warmup_step(model, cfg, donate=True)
 
     raw = synthetic.synthetic_batch(batch_size=1, hw=hw, num_classes=19, seed=0)
     batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}

@@ -61,7 +61,7 @@ def main():
     sv = jax.device_put(sv, device)
     tv = jax.device_put(tv, device)
     state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
-    step = make_simt_step(student, teacher, cfg)
+    step = make_simt_step(student, teacher, cfg)  # no donation: state rerun for timing
 
     raw = synthetic.synthetic_batch(batch_size=1, hw=hw, num_classes=19, seed=0)
     batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}

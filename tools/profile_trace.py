@@ -134,7 +134,7 @@ def main():
         def fn():
             return trunk_fwdbwd(tvars["params"], tvars.get("batch_stats", {}), xt)
     elif args.what == "step":
-        step = make_simt_step(student, teacher, cfg)
+        step = make_simt_step(student, teacher, cfg)  # no donation: state rerun for timing
 
         def fn():
             st, m = step(state, batch)
