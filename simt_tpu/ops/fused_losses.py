@@ -115,7 +115,30 @@ def simt_loss_block(
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     teacher_prob8 = teacher_prob8.astype(jnp.float32)
+    # One concatenated-channel tensor feeds a SINGLE upsample per chunk instead of
+    # one per head: the H- and W-contractions are channel-independent, so
+    # per-channel results are bit-identical, while the chunk GEMMs grow from
+    # K=65/129 x N~=34ch to N~=68ch — much better MXU occupancy at these tiny-K
+    # shapes (the loss-scan whiles were ~4.8 ms/step with per-tensor upsamples).
+    xcat = jnp.concatenate([x1, x2], axis=-1)
     iota_t = jnp.arange(total)[None, :, None]
+
+    # ------- pass 1 (no grad): teacher thresholds (:354-362) as a uint8 label map ----
+    # The teacher posterior contributes to the differentiated losses ONLY through the
+    # integer ``conf`` labels (argmax where max-prob > hi, class C where < lo, else
+    # ignore) and the post-scan anchor rows. Computing ``conf`` in its own scan keeps
+    # the teacher upsample + threshold reductions OUT of the checkpointed main scan,
+    # whose backward would otherwise recompute them wholesale; the per-channel
+    # contraction order is identical, so the labels are bit-exact.
+    def conf_body(_, a_h_c):
+        tch = _upsample_chunk_cf(teacher_prob8, a_h_c, a_w, prec)  # (B, C, P)
+        tmax = jnp.max(tch, axis=1)
+        targ = jnp.argmax(tch, axis=1)
+        conf = jnp.where(tmax > threshold_high, targ, ignore_label)
+        conf = jnp.where(tmax < threshold_low, c, conf)
+        return 0, conf.astype(jnp.uint8)
+
+    _, conf_chunks = jax.lax.scan(conf_body, 0, a_h_chunks)  # (n_chunks, B, rows*W)
 
     def head_chunk_losses(pred, refined, label_c, tm, pseudo):
         """Per-head local sums on (B, C+O, P) tiles. ``pseudo`` is the per-pixel
@@ -175,17 +198,12 @@ def simt_loss_block(
         return new_max, new_idx, jnp.maximum(exist_v, ex)
 
     def body(carry, inp):
-        a_h_c, label_c, chunk_idx = inp
+        a_h_c, label_c, conf_c, chunk_idx = inp
         label_c = label_c.reshape(b, -1)  # (B, rows*W)
-        pred1 = _upsample_chunk_cf(x1, a_h_c, a_w, prec)
-        pred2 = _upsample_chunk_cf(x2, a_h_c, a_w, prec)
-        tch = _upsample_chunk_cf(teacher_prob8, a_h_c, a_w, prec)
-
-        # Teacher thresholding (:354-362).
-        tmax = jnp.max(tch, axis=1)
-        targ = jnp.argmax(tch, axis=1)
-        conf = jnp.where(tmax > threshold_high, targ, ignore_label)
-        conf = jnp.where(tmax < threshold_low, c, conf)
+        zcat = _upsample_chunk_cf(xcat, a_h_c, a_w, prec)
+        pred1 = zcat[:, :total]
+        pred2 = zcat[:, total:]
+        conf = conf_c.astype(jnp.int32)  # pass-1 teacher thresholds (:354-362)
 
         # Class-posterior refinement (:387-393) — uses head-2's argmax.
         pseudo1 = jnp.argmax(pred1, axis=1)
@@ -218,7 +236,8 @@ def simt_loss_block(
     # neutral and unroll=4 lost ~1.9 ms (round-3 measurement).
     carry, _ = jax.lax.scan(
         jax.checkpoint(body), carry0,
-        (a_h_chunks, label_chunks, jnp.arange(n_chunks, dtype=jnp.int32)),
+        (a_h_chunks, label_chunks, conf_chunks,
+         jnp.arange(n_chunks, dtype=jnp.int32)),
     )
     m1, i1, e1, m2, i2, e2, acc = carry
     (ce1_s, ce1_n, k1_s, k1_n, u1_s, u1_n, y1_s, y1_n,

@@ -51,6 +51,26 @@ from ..ops.schedules import poly_lr
 from . import state as state_lib
 
 
+def _cast_frozen_kernels(params, compute_dtype: str):
+    """Store a frozen network's conv kernels in the compute dtype.
+
+    Every conv kernel is consumed via ``.astype(compute_dtype)`` (models/layers.py,
+    ops/conv.py) or flax's promote_dtype, so pre-casting once at state creation is
+    bit-identical to casting every step — it just deletes ~250 MB/step of f32->bf16
+    HBM traffic for the never-updated teacher. BN affine/stats and ASPP biases stay
+    f32: flax BatchNorm and the branch-bias add run their arithmetic in f32.
+    """
+    if compute_dtype == "float32":
+        return params
+    dtype = jnp.bfloat16
+    flat = traverse_util.flatten_dict(params)
+    flat = {
+        k: (jnp.asarray(v, dtype) if k[-1].endswith("kernel") else v)
+        for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(flat)
+
+
 def create_simt_state(model_vars, teacher_vars, cfg, rng) -> state_lib.SimTState:
     """Initialise the SimT train state (trainV2_simt.py:250-280)."""
     init_model, _ = state_lib.make_model_tx(
@@ -72,7 +92,9 @@ def create_simt_state(model_vars, teacher_vars, cfg, rng) -> state_lib.SimTState
             batch_stats=model_vars.get("batch_stats", {}),
             opt_state=init_model(model_vars["params"]),
         ),
-        teacher_params=teacher_vars["params"],
+        teacher_params=_cast_frozen_kernels(
+            teacher_vars["params"], cfg.model.compute_dtype
+        ),
         teacher_batch_stats=teacher_vars.get("batch_stats", {}),
         t1=state_lib.NTMState(t1, adam_init(t1)),
         t2=state_lib.NTMState(t2, adam_init(t2)),
