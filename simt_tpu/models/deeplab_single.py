@@ -14,7 +14,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ASPPHead, batch_norm, conv, max_pool_ceil, res_stage
+from .layers import (
+    ASPPHead, batch_norm, max_pool_ceil, res_stage, stem_conv7x7_wfold,
+)
 
 
 class DeeplabSingle(nn.Module):
@@ -26,7 +28,7 @@ class DeeplabSingle(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         x = x.astype(self.dtype)
-        x = conv(64, (7, 7), stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        x = stem_conv7x7_wfold(x, self.dtype)
         x = batch_norm(name="bn1", dtype=self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         x = max_pool_ceil(x, window=3, stride=2, padding=1)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.interp import upsample_bilinear_half_pixel
-from .layers import batch_norm, conv
+from .layers import batch_norm, conv, stem_conv7x7_wfold
 
 
 class BottleneckV3(nn.Module):
@@ -93,7 +93,7 @@ class DeepLabv3(nn.Module):
         use_ra = not train
         x = x.astype(self.dtype)
         # torchvision resnet50 stem: 7x7/2 + BN + ReLU + 3x3/2 max pool (floor mode).
-        x = conv(64, (7, 7), stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        x = stem_conv7x7_wfold(x, self.dtype)
         x = batch_norm(name="bn1", dtype=self.dtype)(x, use_running_average=use_ra)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -28,9 +28,9 @@ from .layers import (
     aspp_apply,
     aspp_branch_params,
     batch_norm,
-    conv,
     max_pool_ceil,
     res_stage,
+    stem_conv7x7_wfold,
 )
 
 
@@ -65,14 +65,7 @@ class ResNetMulti(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         """x: (B, H, W, 3) mean-subtracted BGR. Returns stride-8 logit maps (f32)."""
         x = x.astype(self.dtype)
-        # NOTE: the stem stays a convolution HLO on purpose. Two GEMM-friendlier
-        # formulations both measured SLOWER in the full step: an im2col stem (49
-        # strided slices on a 3-lane tensor, ~3 ms vs the ~1 ms conv fusion) and a
-        # space-to-depth 4x4/1 stem (kernel zero-padded to 8x8, 2x2 block folded
-        # into channels, K=192 — numerically equal, but 33.1 -> 32.7 steps/s: the
-        # channel-minor=3 space-to-depth transpose is a worse layout op than the
-        # low-MFU conv it replaces). 3 input channels starve any dot formulation.
-        x = conv(64, (7, 7), stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        x = stem_conv7x7_wfold(x, self.dtype)
         x = batch_norm(name="bn1", dtype=self.dtype)(x, use_running_average=not train)
         x = nn.relu(x)
         x = max_pool_ceil(x, window=3, stride=2, padding=1)

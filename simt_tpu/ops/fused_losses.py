@@ -43,28 +43,38 @@ def _finish_mean(s: jax.Array, n: jax.Array) -> jax.Array:
 
 
 def _upsample_chunk_cf(x: jax.Array, a_h_c: jax.Array, a_w: jax.Array, prec) -> jax.Array:
-    """(B, h8, w8, C) -> (B, C, rows*W) channels-first chunk (two MXU matmuls)."""
+    """(B, h8, w8, C) -> (B, C, rows, W) channels-first chunk (two MXU matmuls).
+
+    Kept 4-D on purpose: flattening (rows, W) -> rows*W retiles the (8, 128)
+    vector layout and showed up as ~0.6 ms/step of pure reshape ops in the
+    round-3 trace; every downstream op reduces over axis 1 (channels) or the
+    trailing spatial axes, so the flat view buys nothing.
+    """
     z = jnp.einsum("bHWc,rH->bcrW", x, a_h_c, precision=prec,
                    preferred_element_type=jnp.float32)
-    z = jnp.einsum("bcrW,wW->bcrw", z, a_w, precision=prec,
-                   preferred_element_type=jnp.float32)
-    return z.reshape(x.shape[0], x.shape[-1], -1)
+    return jnp.einsum("bcrW,wW->bcrw", z, a_w, precision=prec,
+                      preferred_element_type=jnp.float32)
 
 
 def _label_mask(labels: jax.Array, num_ch: int, ignore: int):
-    """(valid (B,P), one-hot mask (B,num_ch,P)) for channels-first gathers."""
+    """(valid (B,...), one-hot mask (B,num_ch,...)) for channels-first gathers.
+
+    ``labels`` may be (B, P) or (B, rows, W); the mask broadcasts either way.
+    """
     valid = jnp.logical_and(labels >= 0, labels != ignore)
     safe = jnp.where(valid, labels, 0)
-    iota = jnp.arange(num_ch, dtype=safe.dtype)[None, :, None]
-    mask = (iota == safe[:, None, :]).astype(jnp.float32)
+    iota = jnp.arange(num_ch, dtype=safe.dtype).reshape(
+        (1, num_ch) + (1,) * (labels.ndim - 1)
+    )
+    mask = (iota == safe[:, None]).astype(jnp.float32)
     return valid, mask
 
 
 def _ce_sums_cf(logits_cf: jax.Array, labels: jax.Array, ignore: int):
-    """Masked CE sums on channels-first tiles: logits (B,C,P), labels (B,P)."""
+    """Masked CE sums on channels-first tiles: logits (B,C,...), labels (B,...)."""
     valid, mask = _label_mask(labels, logits_cf.shape[1], ignore)
     mx = jnp.max(logits_cf, axis=1)
-    lz = mx + jnp.log(jnp.sum(jnp.exp(logits_cf - mx[:, None, :]), axis=1))
+    lz = mx + jnp.log(jnp.sum(jnp.exp(logits_cf - mx[:, None]), axis=1))
     picked = jnp.sum(logits_cf * mask, axis=1)
     nll = (lz - picked) * valid
     return jnp.sum(nll), jnp.sum(valid)
@@ -121,7 +131,7 @@ def simt_loss_block(
     # K=65/129 x N~=34ch to N~=68ch — much better MXU occupancy at these tiny-K
     # shapes (the loss-scan whiles were ~4.8 ms/step with per-tensor upsamples).
     xcat = jnp.concatenate([x1, x2], axis=-1)
-    iota_t = jnp.arange(total)[None, :, None]
+    iota_t = jnp.arange(total)[None, :, None, None]
 
     # ------- pass 1 (no grad): teacher thresholds (:354-362) as a uint8 label map ----
     # The teacher posterior contributes to the differentiated losses ONLY through the
@@ -131,17 +141,17 @@ def simt_loss_block(
     # whose backward would otherwise recompute them wholesale; the per-channel
     # contraction order is identical, so the labels are bit-exact.
     def conf_body(_, a_h_c):
-        tch = _upsample_chunk_cf(teacher_prob8, a_h_c, a_w, prec)  # (B, C, P)
+        tch = _upsample_chunk_cf(teacher_prob8, a_h_c, a_w, prec)  # (B, C, r, W)
         tmax = jnp.max(tch, axis=1)
         targ = jnp.argmax(tch, axis=1)
         conf = jnp.where(tmax > threshold_high, targ, ignore_label)
         conf = jnp.where(tmax < threshold_low, c, conf)
         return 0, conf.astype(jnp.uint8)
 
-    _, conf_chunks = jax.lax.scan(conf_body, 0, a_h_chunks)  # (n_chunks, B, rows*W)
+    _, conf_chunks = jax.lax.scan(conf_body, 0, a_h_chunks)  # (n_chunks, B, rows, W)
 
     def head_chunk_losses(pred, refined, label_c, tm, pseudo):
-        """Per-head local sums on (B, C+O, P) tiles. ``pseudo`` is the per-pixel
+        """Per-head local sums on (B, C+O, rows, W) tiles. ``pseudo`` is the per-pixel
         argmax (computed once per head in ``body``, shared with the anchor carry).
 
         Returns (ce_s, ce_n, known_s, known_n, unk_s, unk_n, y_s, y_n).
@@ -165,7 +175,7 @@ def simt_loss_block(
 
         # Noisy posterior (:402-409): q = T^T softmax(pred) on the MXU, NLL vs label.
         sm = jnp.exp(pred - mx[:, None, :]) / den[:, None, :]
-        q = jnp.einsum("kc,bkp->bcp", tm, sm, precision=prec,
+        q = jnp.einsum("kc,bkrw->bcrw", tm, sm, precision=prec,
                        preferred_element_type=jnp.float32)
         valid, maskc = _label_mask(label_c, c, ignore_label)
         picked = jnp.sum(q * maskc, axis=1)
@@ -180,26 +190,36 @@ def simt_loss_block(
         batch-major flat index of the max pixel; strict > keeps the first
         occurrence. The teacher posterior rows at the winning indices are
         recomputed ONCE after the scan (``teacher_rows_at``) instead of being
-        gathered per chunk — the per-chunk one-hot gather matmul was ~1 ms/step."""
-        flat = jnp.moveaxis(jax.lax.stop_gradient(pred), 1, 0).reshape(total, -1)
-        cand_max = jnp.max(flat, axis=1)
-        loc = jnp.argmax(flat, axis=1)  # (C+O,) index into (B, rows*W)
-        bi = loc // rows_w
-        within = loc % rows_w
+        gathered per chunk — the per-chunk one-hot gather matmul was ~1 ms/step.
+
+        Two-stage argmax (over W per row, then over B*rows) keeps every reduction
+        on the natural (rows, W) tiles — a flat (C, B*rows*W) view retiles the
+        chunk. First-occurrence semantics are preserved: the first row holding
+        the max wins stage 2, the first column within it wins stage 1.
+        """
+        det = jax.lax.stop_gradient(pred)  # (B, C+O, rows, W)
+        row_max = jnp.moveaxis(jnp.max(det, axis=3), 1, 0).reshape(total, -1)
+        row_arg = jnp.moveaxis(jnp.argmax(det, axis=3), 1, 0).reshape(total, -1)
+        cand_max = jnp.max(row_max, axis=1)
+        loc_br = jnp.argmax(row_max, axis=1)  # (C+O,) index into (B, rows)
+        wi = jnp.take_along_axis(row_arg, loc_br[:, None], axis=1)[:, 0]
+        bi = loc_br // rows
+        within = (loc_br % rows) * ww + wi
         glob = bi * (hh * ww) + chunk_idx * rows_w + within
         better = cand_max > max_v
         new_max = jnp.where(better, cand_max, max_v)
         new_idx = jnp.where(better, glob.astype(jnp.int32), idx_v)
         # Per-class presence: max-reduce of the per-pixel argmax one-hot.
         ex = jnp.max(
-            (jnp.arange(total)[:, None] == pseudo.reshape(1, -1)).astype(jnp.float32),
-            axis=1,
+            (jnp.arange(total)[:, None, None, None] == pseudo[None]).astype(
+                jnp.float32
+            ),
+            axis=(1, 2, 3),
         )
         return new_max, new_idx, jnp.maximum(exist_v, ex)
 
     def body(carry, inp):
-        a_h_c, label_c, conf_c, chunk_idx = inp
-        label_c = label_c.reshape(b, -1)  # (B, rows*W)
+        a_h_c, label_c, conf_c, chunk_idx = inp  # label_c: (B, rows, W)
         zcat = _upsample_chunk_cf(xcat, a_h_c, a_w, prec)
         pred1 = zcat[:, :total]
         pred2 = zcat[:, total:]
@@ -304,7 +324,7 @@ def upsample_ce(
     def body(carry, inp):
         a_h_c, label_c = inp
         pred = _upsample_chunk_cf(logits, a_h_c, a_w, precision)
-        s, n = _ce_sums_cf(pred, label_c.reshape(b, -1), ignore_label)
+        s, n = _ce_sums_cf(pred, label_c, ignore_label)
         return (carry[0] + s, carry[1] + n), None
 
     (s, n), _ = jax.lax.scan(

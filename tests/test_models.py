@@ -34,6 +34,33 @@ def test_max_pool_ceil_matches_torch():
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_stem_wfold_matches_torch_conv7x7():
+    """The W-folded stem (layers.py::stem_conv7x7_wfold) == torch's 7x7/2 pad-3 conv,
+    bit-level on CPU f32, including odd geometries where the fold pads an extra
+    zero column (deeplab_multi.py:127)."""
+    import flax.linen as nn
+
+    from simt_tpu.models.layers import stem_conv7x7_wfold
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return stem_conv7x7_wfold(x, jnp.float32)
+
+    rng = np.random.RandomState(7)
+    for h, w in [(64, 128), (33, 65), (8, 9), (65, 129)]:
+        x = rng.randn(2, h, w, 3).astype(np.float32)
+        variables = Stem().init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(Stem().apply(variables, jnp.asarray(x)))
+        k = np.asarray(variables["params"]["conv1"]["kernel"])  # HWIO
+        want = _nhwc(
+            F.conv2d(_nchw(x), torch.from_numpy(np.transpose(k, (3, 2, 0, 1))),
+                     stride=2, padding=3)
+        )
+        assert got.shape == want.shape, (h, w, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_bottleneck_matches_torch_functional():
     """One dilated bottleneck (stride 1, dilation 2, with projection) vs torch ops."""
     rng = np.random.RandomState(1)
