@@ -130,11 +130,13 @@ def train(
     """Run one stage. ``eval_fn(model, variables) -> mIoU`` is injected (the real
     Cityscapes evaluator or a synthetic one). Returns summary dict."""
     print_fn("Start: " + time.asctime(time.localtime(time.time())))
-    if cfg.model.arch == "deeplabv3":
-        # The reference never trains this variant in the SimT branch (SURVEY.md §2.1);
-        # it is an eval model here. Train support would need its own output shape and
-        # optimizer partition (deeplabv3.py:140-166).
-        raise ValueError("training the 'deeplabv3' arch is not supported (eval-only)")
+    if cfg.model.arch == "deeplabv3" and cfg.stage == "simt":
+        # Warmup-stage training is supported (reference partition deeplabv3.py:140-166,
+        # single full-res output). The SimT stage is not: the reference's own v3 SimT
+        # lives in a different branch and is broken here (its sig_NTM loads the
+        # nonexistent ClassDist_source.npy, deeplabv3.py:179), and the two-head
+        # H/8-logit loss scan does not apply to v3's single in-model-upsampled output.
+        raise ValueError("simt-stage training of 'deeplabv3' is not supported")
     student, teacher = build_models(cfg)
     hw = (cfg.data.crop_size[1], cfg.data.crop_size[0])  # (h, w) from (w, h)
 

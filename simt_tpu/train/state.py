@@ -39,8 +39,29 @@ _HEAD_PREFIXES = ("layer5", "layer6", "layer5_1", "layer6_1")
 _WARMUP_ONLY_PREFIXES = ("conv1", "bn1", "layer1_", "layer2_")
 
 
-def param_label(path: Tuple[str, ...], *, warmup: bool, aspp_effective_branches: int = 2) -> str:
+def param_label_v3(path: Tuple[str, ...]) -> str:
+    """LR-group label for the DeepLabv3 variant (deeplabv3.py:140-166).
+
+    The reference's 1x group yields trunk params whose name contains
+    ``resnet_50.layer3`` (``layer4``/``fc`` are dead modules of the torchvision
+    resnet the truncated forward never uses); the 10x group is ASPP + the 1x1
+    classifier(s). The stem and layers 1-2 appear in NO optimizer group — frozen.
+    Unlike the v2 family, torchvision BN affine params default to
+    requires_grad=True, so BN scale/bias inside the grouped modules train.
+    """
+    top = path[0]
+    if top == "assp" or top in ("conv", "conv_1"):
+        return LABEL_10X
+    if top.startswith("layer3_"):
+        return LABEL_1X
+    return LABEL_FROZEN
+
+
+def param_label(path: Tuple[str, ...], *, warmup: bool, aspp_effective_branches: int = 2,
+                arch: str = "deeplab_multi") -> str:
     """LR-group label for one parameter path (keys into the flax params tree)."""
+    if arch == "deeplabv3":
+        return param_label_v3(path)
     top = path[0]
     leaf = path[-1]
     # BN affine params are frozen everywhere (requires_grad=False in the reference).
@@ -62,11 +83,13 @@ def param_label(path: Tuple[str, ...], *, warmup: bool, aspp_effective_branches:
     return LABEL_1X  # layer3 / layer4 backbone (and VGG features)
 
 
-def partition_params(params, *, warmup: bool, aspp_effective_branches: int = 2):
+def partition_params(params, *, warmup: bool, aspp_effective_branches: int = 2,
+                     arch: str = "deeplab_multi"):
     """Pytree of LR-group labels matching ``params``' structure."""
     flat = flax.traverse_util.flatten_dict(params)
     labels = {
-        k: param_label(k, warmup=warmup, aspp_effective_branches=aspp_effective_branches)
+        k: param_label(k, warmup=warmup, aspp_effective_branches=aspp_effective_branches,
+                       arch=arch)
         for k in flat
     }
     return flax.traverse_util.unflatten_dict(labels)
@@ -91,7 +114,8 @@ def adam_direction() -> optax.GradientTransformation:
 
 
 def make_model_tx(
-    momentum: float, weight_decay: float, *, warmup: bool, aspp_effective_branches: int = 2
+    momentum: float, weight_decay: float, *, warmup: bool,
+    aspp_effective_branches: int = 2, arch: str = "deeplab_multi"
 ) -> Callable:
     """Returns (init_fn, update_fn) for the partitioned model optimizer.
 
@@ -118,7 +142,8 @@ def make_model_tx(
 
     def label_of(path):
         return param_label(
-            path, warmup=warmup, aspp_effective_branches=aspp_effective_branches
+            path, warmup=warmup, aspp_effective_branches=aspp_effective_branches,
+            arch=arch,
         )
 
     def init(params):

@@ -27,6 +27,7 @@ def create_warmup_state(model, variables, cfg) -> state_lib.WarmupState:
         cfg.optim.weight_decay,
         warmup=True,
         aspp_effective_branches=cfg.model.aspp_effective_branches,
+        arch=cfg.model.arch,
     )
     return state_lib.WarmupState(
         model=state_lib.ModelState(
@@ -45,6 +46,7 @@ def make_warmup_step(model, cfg, donate: bool = False):
         cfg.optim.weight_decay,
         warmup=True,
         aspp_effective_branches=cfg.model.aspp_effective_branches,
+        arch=cfg.model.arch,
     )
     lambda_seg = cfg.simt.lambda_seg
     ignore = cfg.ignore_label
@@ -60,18 +62,30 @@ def make_warmup_step(model, cfg, donate: bool = False):
             label = normalize_label(sub["label"])
 
             def loss_fn(params):
-                (x1, x2), mutated = model.apply(
+                ys, mutated = model.apply(
                     {"params": params, "batch_stats": batch_stats},
                     image,
                     True,
                     mutable=["batch_stats"],
                 )
-                # Streamed upsample+CE (trainV1_warmup.py:219-224, flash-style);
-                # loss / iter_size before backward (:226-227).
-                l1 = upsample_ce(x1, label, ignore_label=ignore,
-                                 chunk_rows=cfg.simt.loss_chunk_rows)
-                l2 = upsample_ce(x2, label, ignore_label=ignore,
-                                 chunk_rows=cfg.simt.loss_chunk_rows)
+                # Two-head models yield (x1, x2); DeepLabv3 yields one tensor
+                # (deeplabv3.py:128-137) — treated as both heads, matching the
+                # Res_Deeplab convention of duplicated outputs (deeplab.py:166-177).
+                x1, x2 = ys if isinstance(ys, tuple) else (ys, ys)
+                if x1.shape[1:3] == label.shape[1:]:
+                    # In-model upsampled logits (DeepLabv3's F.interpolate to the
+                    # input size, deeplabv3.py:137): plain masked CE, no interp.
+                    from ..ops.losses import cross_entropy_2d
+
+                    l1 = cross_entropy_2d(x1, label, ignore_label=ignore)
+                    l2 = cross_entropy_2d(x2, label, ignore_label=ignore)
+                else:
+                    # Streamed upsample+CE (trainV1_warmup.py:219-224, flash-style);
+                    # loss / iter_size before backward (:226-227).
+                    l1 = upsample_ce(x1, label, ignore_label=ignore,
+                                     chunk_rows=cfg.simt.loss_chunk_rows)
+                    l2 = upsample_ce(x2, label, ignore_label=ignore,
+                                     chunk_rows=cfg.simt.loss_chunk_rows)
                 return (l2 + lambda_seg * l1) / iter_size, (
                     l1, l2, mutated.get("batch_stats", {})
                 )

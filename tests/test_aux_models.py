@@ -65,6 +65,73 @@ def test_deeplabv3_batchnorm_stats_update():
     )
 
 
+def test_deeplabv3_param_partition():
+    """The v3 LR groups mirror deeplabv3.py:140-166: layer3 at 1x, ASPP + classifier
+    conv(s) at 10x (BN affine included — torchvision requires_grad defaults), stem and
+    layers 1-2 in no group at all."""
+    from simt_tpu.train.state import LABEL_1X, LABEL_10X, LABEL_FROZEN, param_label
+
+    lbl = lambda *path: param_label(path, warmup=True, arch="deeplabv3")
+    assert lbl("layer3_0", "conv2", "kernel") == LABEL_1X
+    assert lbl("layer3_5", "bn2", "scale") == LABEL_1X  # BN affine trains in v3
+    assert lbl("assp", "conv2", "kernel") == LABEL_10X
+    assert lbl("assp", "bnf", "bias") == LABEL_10X
+    assert lbl("conv", "kernel") == LABEL_10X
+    assert lbl("conv_1", "bias") == LABEL_10X
+    for frozen in [("conv1", "kernel"), ("bn1", "scale"),
+                   ("layer1_0", "conv1", "kernel"), ("layer2_3", "bn3", "bias")]:
+        assert param_label(frozen, warmup=True, arch="deeplabv3") == LABEL_FROZEN, frozen
+
+
+def test_deeplabv3_warmup_training(tmp_path):
+    """Warmup-stage training of the v3 arch: full-res single-output CE path, the v3
+    optimizer partition, and BN running-stat updates, driven through train()."""
+    import dataclasses
+
+    from simt_tpu.train.loop import train
+    from tests.test_train import tiny_cfg, batch, HW
+
+    cfg = tiny_cfg(tmp_path, "warmup")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, arch="deeplabv3", open_classes=0,
+                                  openset=False),
+        data=dataclasses.replace(cfg.data, crop_size=(HW[1], HW[0])),  # (w, h)
+        snapshot_dir="",
+    )
+
+    def batches():
+        i = 0
+        while True:
+            yield batch(seed=i)
+            i += 1
+
+    out = train(cfg, batch_iter=batches(), eval_fn=None, max_steps=3,
+                print_fn=lambda s: None)
+    m = out["final_metrics"]
+    assert np.isfinite(m["loss_seg1"]) and np.isfinite(m["loss_seg2"])
+    st = out["state"]
+    assert int(st.step) == 3
+    p = st.model.params
+    init_vars = out["student"].init(jax.random.PRNGKey(cfg.random_seed),
+                                    jnp.zeros((1, *HW, 3)), False)
+    # 1x (layer3) and 10x (assp/conv) groups moved; stem + layer1/2 frozen (v3 trains
+    # from scratch here, so init params are reproducible from the same seed).
+    p0 = init_vars["params"]
+    assert not np.allclose(p0["conv"]["kernel"], p["conv"]["kernel"])
+    assert not np.allclose(p0["assp"]["conv1"]["kernel"], p["assp"]["conv1"]["kernel"])
+    assert not np.allclose(p0["layer3_0"]["conv2"]["kernel"],
+                           p["layer3_0"]["conv2"]["kernel"])
+    assert not np.allclose(p0["layer3_0"]["bn2"]["scale"],
+                           p["layer3_0"]["bn2"]["scale"])  # BN affine trains in v3
+    np.testing.assert_array_equal(p0["conv1"]["kernel"], p["conv1"]["kernel"])
+    np.testing.assert_array_equal(p0["layer1_0"]["conv1"]["kernel"],
+                                  p["layer1_0"]["conv1"]["kernel"])
+    # Running stats updated (train-mode BN).
+    assert not np.allclose(init_vars["batch_stats"]["bn1"]["mean"],
+                           st.model.batch_stats["bn1"]["mean"])
+
+
 def test_discriminator_patch_output():
     disc = FCDiscriminator(dtype=jnp.float32)
     x = jnp.zeros((2, 64, 64, 19))
