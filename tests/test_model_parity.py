@@ -116,3 +116,74 @@ def test_closed_set_forward_matches_torch_twin():
     np.testing.assert_allclose(
         np.asarray(got2), want2.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# DeepLabv3 (the TPAMI-variant eval/warmup model, model/deeplabv3.py)
+# ---------------------------------------------------------------------------
+
+
+def _v3_bottleneck(x, sd, prefix, stride):
+    """torchvision bottleneck: the stride sits on conv2 (ResNet V1.5)."""
+    out = F.relu(_bn(_conv(x, sd, prefix + ".conv1"), sd, prefix + ".bn1"))
+    out = F.relu(_bn(_conv(out, sd, prefix + ".conv2", stride=stride, padding=1),
+                     sd, prefix + ".bn2"))
+    out = _bn(_conv(out, sd, prefix + ".conv3"), sd, prefix + ".bn3")
+    if prefix + ".downsample.0.weight" in sd:
+        res = _bn(_conv(x, sd, prefix + ".downsample.0", stride=stride), sd,
+                  prefix + ".downsample.1")
+    else:
+        res = x
+    return F.relu(out + res)
+
+
+def _v3_assp(x, sd):
+    """5-branch ASPP + concat + 1x1 fuse (deeplabv3.py:23-108)."""
+    branches = []
+    for suffix, d in [("1", 1), ("2", 6), ("3", 12), ("4", 18), ("5", 1)]:
+        pad = d if suffix in ("2", "3", "4") else 0
+        y = _conv(x, sd, f"assp.conv{suffix}", padding=pad, dilation=d)
+        branches.append(F.relu(_bn(y, sd, f"assp.bn{suffix}")))
+    y = torch.cat(branches, 1)
+    return F.relu(_bn(_conv(y, sd, "assp.convf"), sd, "assp.bnf"))
+
+
+def torch_twin_v3_forward(sd, x_nchw, openset):
+    h, w = x_nchw.shape[-2:]
+    x = F.relu(_bn(_conv(x_nchw, sd, "conv1", stride=2, padding=3), sd, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)  # torchvision floor mode
+    for li, (blocks, stride) in enumerate([(3, 1), (4, 2), (6, 2)], start=1):
+        for b in range(blocks):
+            x = _v3_bottleneck(x, sd, f"layer{li}.{b}", stride if b == 0 else 1)
+    x = _v3_assp(x, sd)
+    out = _conv(x, sd, "conv")
+    if openset:
+        out = torch.cat([out, _conv(x, sd, "conv_1")], 1)
+    # In-model upsample to the input size (deeplabv3.py:137, align_corners=False).
+    return F.interpolate(out, size=(h, w), mode="bilinear", align_corners=False)
+
+
+def test_deeplabv3_forward_matches_torch_twin():
+    from simt_tpu.models import DeepLabv3
+
+    model = DeepLabv3(num_classes=4, open_classes=2, openset=True, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 64, 96, 3).astype(np.float32) * 40
+    variables = model.init(jax.random.PRNGKey(2), jnp.asarray(x), False)
+    # Randomise BN stats so eval-mode normalisation is non-trivial.
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.3 + 1.0),
+        variables["batch_stats"],
+    )
+    bs = jax.tree.map(lambda a: jnp.abs(a) + 0.1, bs)
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    got = model.apply(variables, jnp.asarray(x), False)
+    sd = export_state_dict(variables)
+    want = torch_twin_v3_forward(
+        sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()), openset=True
+    )
+    assert got.shape == (1, 64, 96, 6)
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
