@@ -148,3 +148,37 @@ def test_loop_level_mesh_training_matches_single_device(tmp_path):
                     (mesh_cfg, i, k, a[k], b[k])
             assert abs(a["anchor"] - b["anchor"]) < 0.5 * max(1.0, abs(a["anchor"])), \
                 (mesh_cfg, i, a["anchor"], b["anchor"])
+
+
+def test_sharded_deeplabv3_warmup_step(tmp_path):
+    """The v3 warmup step (single full-res output, trainable BN) under a (2,4) mesh
+    matches single-device: global batch statistics and the in-model half-pixel
+    upsample must shard cleanly alongside the conv halos."""
+    import dataclasses
+
+    import tests.test_train as tt
+    from simt_tpu.data import synthetic
+    from simt_tpu.models import DeepLabv3
+    from simt_tpu.train import create_warmup_state, make_warmup_step
+
+    cfg = tt.tiny_cfg(tmp_path, "warmup")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, arch="deeplabv3", open_classes=0,
+                                       openset=False)
+    )
+    model = DeepLabv3(num_classes=tt.C, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *tt.HW, 3)), False)
+    state = create_warmup_state(model, variables, cfg)
+    step = make_warmup_step(model, cfg)
+
+    raw = synthetic.synthetic_batch(batch_size=2, hw=tt.HW, num_classes=tt.C, seed=3)
+    batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
+    _, m_single = step(state, batch)
+
+    mesh = make_mesh(data=2, spatial=4)
+    new_state, m_sharded = step(replicate_state(state, mesh), shard_batch(batch, mesh))
+    for k in ["loss_seg1", "loss_seg2"]:
+        a, b = float(m_single[k]), float(m_sharded[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) < 1e-3 * max(1.0, abs(a)), (k, a, b)
+    assert int(new_state.step) == 1
