@@ -189,8 +189,13 @@ class CropCache:
     def _key(self, path: str, crop_wh: Tuple[int, int], kind: str) -> str:
         import hashlib
 
+        # mtime+size in the key: regenerating a source file at the same path (the
+        # normal workflow for pseudo-label PNGs between warmup rounds) must MISS
+        # rather than silently serve the stale pre-regeneration crop.
+        st = os.stat(path)
         h = hashlib.sha1(
-            f"{os.path.abspath(path)}|{crop_wh[0]}x{crop_wh[1]}|{kind}".encode()
+            f"{os.path.abspath(path)}|{crop_wh[0]}x{crop_wh[1]}|{kind}"
+            f"|{st.st_mtime_ns}|{st.st_size}".encode()
         ).hexdigest()[:24]
         return os.path.join(self.cache_dir, f"{h}_{kind}.npy")
 

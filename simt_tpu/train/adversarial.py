@@ -40,6 +40,7 @@ def make_adversarial_warmup_step(model, discriminator, cfg, *, lambda_adv: float
     _, model_update = state_lib.make_model_tx(
         cfg.optim.momentum, cfg.optim.weight_decay, warmup=True,
         aspp_effective_branches=cfg.model.aspp_effective_branches,
+        arch=cfg.model.arch,
     )
     d_tx = optax.adam(d_lr, b1=0.9, b2=0.99)
     lambda_seg = cfg.simt.lambda_seg

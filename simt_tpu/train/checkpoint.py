@@ -52,7 +52,17 @@ def restore(template: Any, directory: str, step: Optional[int] = None) -> Any:
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype) if hasattr(a, "shape") else a,
         template,
     )
-    return ckpt.restore(path, abstract)
+    try:
+        return ckpt.restore(path, abstract)
+    except (ValueError, KeyError) as e:
+        # Orbax structure/dtype mismatches are cryptic; the common cause is a
+        # snapshot written before a train-state layout change (e.g. the round-3
+        # trainable-only optimizer partition / bf16 teacher kernels).
+        raise ValueError(
+            f"checkpoint at {path} does not match the current train-state layout "
+            "(was it written by an older simt_tpu version? resume requires a "
+            f"same-layout snapshot): {e}"
+        ) from e
 
 
 def delete(directory: str, step: int) -> None:

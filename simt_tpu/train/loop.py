@@ -234,7 +234,11 @@ def train(
         batch_iter = cache.wrap(batch_iter)
         print_fn("teacher cache enabled (float16 posteriors, skips teacher forward)")
 
-    writer = MetricWriter(csv_path)
+    # Per-process side effects: the CSV writer and best-snapshot deletion run on
+    # process 0 only (orbax save/restore stay collective — every process must
+    # participate for globally-sharded arrays).
+    is_proc0 = jax.process_index() == 0
+    writer = MetricWriter(csv_path if is_proc0 else None)
     timer = StepTimer()
     best_miou, best_step = 0.0, 0
     stop_at = min(cfg.num_steps_stop, max_steps or cfg.num_steps_stop)
@@ -311,7 +315,7 @@ def train(
             miou = eval_fn(student, eval_vars)
             print_fn("Finish Evaluation: " + time.asctime(time.localtime(time.time())))
             if miou > best_miou:
-                if best_step and cfg.snapshot_dir:
+                if best_step and cfg.snapshot_dir and is_proc0:
                     ckpt_lib.delete(cfg.snapshot_dir, best_step)
                 print_fn(f"Saving model with mIoU:  {miou}")
                 if cfg.snapshot_dir:

@@ -183,6 +183,7 @@ port = sys.argv[3]
 fixture_root = sys.argv[4]
 pseudo_lst = sys.argv[5]
 cd_path = sys.argv[6]
+iter_size = int(sys.argv[7]) if len(sys.argv) > 7 else 1
 
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, {repo_tests!r})
@@ -193,7 +194,7 @@ assert jax.process_count() == nproc
 
 from test_multihost_cfg import build_cfg_and_patch
 
-cfg = build_cfg_and_patch(fixture_root, pseudo_lst, cd_path)
+cfg = build_cfg_and_patch(fixture_root, pseudo_lst, cd_path, iter_size)
 from simt_tpu.train.loop import train
 
 lines = []
@@ -214,7 +215,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_cfg_and_patch(fixture_root, pseudo_lst, cd_path):
+def build_cfg_and_patch(fixture_root, pseudo_lst, cd_path, iter_size=1):
     from simt_tpu import config as config_lib
     from simt_tpu.models.resnet_multi import ResNetMulti
     from simt_tpu.train import loop as loop_lib
@@ -231,7 +232,7 @@ def build_cfg_and_patch(fixture_root, pseudo_lst, cd_path):
         stage="simt",
         model=config_lib.ModelConfig(num_classes=5, open_classes=3, openset=True,
                                      compute_dtype="float32"),
-        optim=config_lib.OptimConfig(num_steps=100),
+        optim=config_lib.OptimConfig(num_steps=100, iter_size=iter_size),
         simt=dataclasses.replace(config_lib.SimTConfig(), class_dist=cd_path,
                                  inner_w_steps=2),
         data=dataclasses.replace(
@@ -250,12 +251,16 @@ def build_cfg_and_patch(fixture_root, pseudo_lst, cd_path):
 
 @pytest.mark.skipif(os.environ.get("SIMT_SKIP_MULTIHOST") == "1",
                     reason="explicitly disabled")
-def test_two_process_train_matches_single_process(tmp_path):
+@pytest.mark.parametrize("iter_size", [1, 2])
+def test_two_process_train_matches_single_process(tmp_path, iter_size):
     """Multi-host data-parallel TRAINING end to end (VERDICT r2 #1): two processes
     (2 virtual CPU devices each) compose a global data=4 mesh, each decodes only its
     half of every global batch through the PRODUCT build_loader path
     (Loader.process_shard + make_array_from_process_local_data), and the 3-step loss
-    trace must match a single-process run over the same global batches."""
+    trace must match a single-process run over the same global batches.
+
+    iter_size=2 additionally pins the gradient-accumulation stacking of
+    already-global sub-batches under multiple controllers (train/loop.py)."""
     import json
 
     import jax
@@ -285,7 +290,8 @@ def test_two_process_train_matches_single_process(tmp_path):
 
         orig_build_models = loop_lib.build_models
         try:
-            cfg = build_cfg_and_patch(paths["root"], paths["pseudo_lst"], cd_path)
+            cfg = build_cfg_and_patch(paths["root"], paths["pseudo_lst"], cd_path,
+                                      iter_size)
             lines_single = []
             out_single = loop_lib.train(cfg, eval_fn=None,
                                         print_fn=lines_single.append, max_steps=3)
@@ -304,7 +310,7 @@ def test_two_process_train_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), "2", port,
-             paths["root"], paths["pseudo_lst"], cd_path],
+             paths["root"], paths["pseudo_lst"], cd_path, str(iter_size)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
