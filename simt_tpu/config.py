@@ -46,6 +46,11 @@ class DataConfig:
     # Opt-in on-disk cache of decoded+resized crops (data/pipeline.py CropCache):
     # epochs >= 2 become PNG-decode-free (~1.6 MB/image at 1024x512). "" disables.
     crop_cache_dir: str = ""
+    # Training source domain: "cityscapes_pseudo" (the reference's trained config,
+    # image\tpseudo-label .lst rows) or "gta5" (name lists + GTA5 id remap — the
+    # reference imports GTA5DataSet in both trainers but never instantiates it,
+    # trainV1_warmup.py:20/83-85; capability kept, reachable via --source-domain).
+    source: str = "cityscapes_pseudo"
 
 
 @dataclasses.dataclass(frozen=True)

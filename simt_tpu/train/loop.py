@@ -82,7 +82,7 @@ def build_mesh(cfg: TrainConfig):
 
 def build_loader(cfg: TrainConfig, root: Optional[str] = None,
                  list_path: Optional[str] = None,
-                 source: str = "cityscapes_pseudo",
+                 source: Optional[str] = None,
                  sharding=None, batch_size: Optional[int] = None,
                  process_shard=None) -> Iterator[Dict]:
     from ..data import pipeline as pipeline_lib
@@ -92,7 +92,7 @@ def build_loader(cfg: TrainConfig, root: Optional[str] = None,
         "cityscapes_pseudo": SegDataset.cityscapes_pseudo,  # the trained configuration
         "gta5": SegDataset.gta5,  # source-domain capability (gta5_dataset.py; the
         # reference imports it in both trainers but never instantiates it)
-    }[source]
+    }[source or cfg.data.source]
     ds = factory(
         root or cfg.data.root,
         list_path or cfg.data.list_path,

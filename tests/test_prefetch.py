@@ -50,3 +50,11 @@ def test_build_loader_gta5_source(tmp_path):
     lab = np.asarray(batch["label"])
     # GTA5 remap: everything maps to a trainid or 255.
     assert set(np.unique(lab)).issubset(set(range(19)) | {255})
+
+    # Same via config (the CLI's --source-domain path: train() passes no explicit
+    # source, so DataConfig.source must select the GTA5 factory).
+    cfg2 = cfg.replace(data=dataclasses.replace(cfg.data, source="gta5"))
+    batch2 = next(build_loader(cfg2))
+    assert set(np.unique(np.asarray(batch2["label"]))).issubset(
+        set(range(19)) | {255}
+    )

@@ -20,6 +20,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="Cityscapes root (images resolved against it)")
     parser.add_argument("--data-list-target", type=str, default=None,
                         help=".lst file with image\\tpseudo-label rows")
+    parser.add_argument("--source-domain", type=str, default=None,
+                        choices=["cityscapes_pseudo", "gta5"],
+                        help="training source: cityscapes pseudo-label pairs (the "
+                             "reference's trained config) or GTA5 name lists with id "
+                             "remap (reference --data-dir/--data-list capability, "
+                             "trainV1_warmup.py:83-85)")
     parser.add_argument("--gt-dir", type=str, default=None,
                         help="directory of *_gtFine_labelIds.png val ground truth")
     parser.add_argument("--val-list", type=str, default=None)
@@ -192,6 +198,8 @@ def build_config(args, stage: str) -> config_lib.TrainConfig:
         data = dataclasses.replace(data, mirror=True)
     if getattr(args, "crop_cache_dir", None):
         data = dataclasses.replace(data, crop_cache_dir=args.crop_cache_dir)
+    if getattr(args, "source_domain", None):
+        data = dataclasses.replace(data, source=args.source_domain)
 
     mesh = cfg.mesh
     if args.mesh_data is not None:
