@@ -15,18 +15,39 @@ from typing import Any, Optional
 import jax
 
 
+_CKPT = None
+
+
 def _checkpointer():
-    import orbax.checkpoint as ocp
+    # One long-lived checkpointer: StandardCheckpointer is async under the hood,
+    # and in-flight async saves must outlive the save() call (wait=False below).
+    global _CKPT
+    if _CKPT is None:
+        import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer()
+        _CKPT = ocp.StandardCheckpointer()
+    return _CKPT
 
 
-def save(state: Any, directory: str, step: int) -> str:
+def save(state: Any, directory: str, step: int, *, wait: bool = True) -> str:
+    """Write a full-state snapshot. ``wait=False`` returns as soon as the device
+    arrays are copied to host (orbax async): the serialisation/write overlaps the
+    following train steps instead of stalling the loop (SURVEY.md §5 rebuild plan —
+    the reference's torch.save blocks ~seconds per best-checkpoint). Call
+    ``wait_until_finished()`` (or a later ``save(wait=True)``) before reading or
+    deleting the snapshot."""
     path = os.path.abspath(os.path.join(directory, f"step_{step:08d}"))
     ckpt = _checkpointer()
     ckpt.save(path, state)
-    ckpt.wait_until_finished()
+    if wait:
+        ckpt.wait_until_finished()
     return path
+
+
+def wait_until_finished() -> None:
+    """Block until every in-flight async save has committed."""
+    if _CKPT is not None:
+        _CKPT.wait_until_finished()
 
 
 def latest_step(directory: str) -> Optional[int]:

@@ -315,11 +315,15 @@ def train(
             miou = eval_fn(student, eval_vars)
             print_fn("Finish Evaluation: " + time.asctime(time.localtime(time.time())))
             if miou > best_miou:
-                if best_step and cfg.snapshot_dir and is_proc0:
-                    ckpt_lib.delete(cfg.snapshot_dir, best_step)
+                if best_step and cfg.snapshot_dir:
+                    # The previous best may still be async-committing.
+                    ckpt_lib.wait_until_finished()
+                    if is_proc0:
+                        ckpt_lib.delete(cfg.snapshot_dir, best_step)
                 print_fn(f"Saving model with mIoU:  {miou}")
                 if cfg.snapshot_dir:
-                    ckpt_lib.save(state, cfg.snapshot_dir, i_iter)
+                    # Async: serialisation overlaps the next training steps.
+                    ckpt_lib.save(state, cfg.snapshot_dir, i_iter, wait=False)
                 best_miou, best_step = miou, i_iter
 
     if profile_dir:

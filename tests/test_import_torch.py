@@ -140,3 +140,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     s_cont, m_cont = step(state, batch(5))
     s_rest, m_rest = step(restored, batch(5))
     assert float(m_cont["loss_seg2"]) == float(m_rest["loss_seg2"])
+
+
+def test_orbax_async_save_roundtrip(tmp_path):
+    """wait=False saves commit in the background; wait_until_finished() is the
+    read/delete barrier (the training loop's best-snapshot path)."""
+    from tests.test_train import tiny_cfg, tiny_model, batch, HW
+
+    from simt_tpu.train import checkpoint as ckpt_lib
+    from simt_tpu.train import create_warmup_state, make_warmup_step
+
+    cfg = tiny_cfg(tmp_path, "warmup")
+    model = tiny_model(False)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, *HW, 3)), False)
+    state = create_warmup_state(model, variables, cfg)
+    step = make_warmup_step(model, cfg)
+    state, _ = step(state, batch())
+
+    ckpt_lib.save(state, str(tmp_path / "snap"), int(state.step), wait=False)
+    ckpt_lib.wait_until_finished()
+    restored = ckpt_lib.restore(state, str(tmp_path / "snap"))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
