@@ -130,13 +130,17 @@ def train(
     """Run one stage. ``eval_fn(model, variables) -> mIoU`` is injected (the real
     Cityscapes evaluator or a synthetic one). Returns summary dict."""
     print_fn("Start: " + time.asctime(time.localtime(time.time())))
-    if cfg.model.arch == "deeplabv3" and cfg.stage == "simt":
-        # Warmup-stage training is supported (reference partition deeplabv3.py:140-166,
-        # single full-res output). The SimT stage is not: the reference's own v3 SimT
-        # lives in a different branch and is broken here (its sig_NTM loads the
-        # nonexistent ClassDist_source.npy, deeplabv3.py:179), and the two-head
-        # H/8-logit loss scan does not apply to v3's single in-model-upsampled output.
-        raise ValueError("simt-stage training of 'deeplabv3' is not supported")
+    if cfg.stage == "simt" and cfg.model.arch != "deeplab_multi":
+        # The reference's SimT stage drives DeeplabMulti only (trainV2_simt.py:250).
+        # Warmup-stage training is supported for every arch. deeplabv3's own SimT
+        # lives in a different reference branch and is broken here (its sig_NTM loads
+        # the nonexistent ClassDist_source.npy, deeplabv3.py:179), and the two-head
+        # H/8-logit loss scan does not apply to single-output/full-res models.
+        raise ValueError(
+            f"simt-stage training requires arch 'deeplab_multi' (got "
+            f"{cfg.model.arch!r}); the reference trains only DeeplabMulti in the "
+            "SimT stage (trainV2_simt.py:250)"
+        )
     student, teacher = build_models(cfg)
     hw = (cfg.data.crop_size[1], cfg.data.crop_size[0])  # (h, w) from (w, h)
 
