@@ -162,3 +162,64 @@ def test_orbax_async_save_roundtrip(tmp_path):
     restored = ckpt_lib.restore(state, str(tmp_path / "snap"))
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_export_torch_cli_roundtrip(tmp_path, monkeypatch):
+    """tools/export_torch.py: orbax snapshot -> reference-layout .pth whose tensors
+    equal the snapshot's model params (the reverse of the warm-start import)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import export_torch
+    import torch
+
+    from tests.test_train import tiny_cfg, tiny_model, batch
+    import dataclasses
+
+    from simt_tpu.train import loop as loop_lib
+
+    cfg = tiny_cfg(tmp_path, "simt")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, crop_size=(64, 32)),
+        snapshot_dir=str(tmp_path / "snap"),
+        num_steps_stop=2, save_pred_every=100, log_every=1,
+    )
+
+    def tiny_models(c):
+        return tiny_model(True), tiny_model(False)
+
+    monkeypatch.setattr(loop_lib, "build_models", tiny_models)
+
+    def batches():
+        i = 0
+        while True:
+            yield batch(seed=i)
+            i += 1
+
+    out = loop_lib.train(cfg, batch_iter=batches(), eval_fn=None, max_steps=2,
+                         print_fn=lambda s: None)
+    want = out["state"].model.params
+
+    out_pth = str(tmp_path / "exported.pth")
+    monkeypatch.setattr(sys, "argv", [
+        "export_torch.py", "--stage", "simt", "--platform", "cpu",
+        "--compute-dtype", "float32", "--num-classes", "5", "--open-classes", "3",
+        "--input-size-target", "64,32",
+        "--snapshot-dir", str(tmp_path / "snap"), "--out", out_pth,
+    ])
+    export_torch.main()
+
+    sd = torch.load(out_pth, map_location="cpu", weights_only=True)
+    # Reference module naming (deeplab_multi.py): open-set heads are layer5_1/
+    # layer6_1 module names, ASPP branches are conv2d_list.{i}.
+    assert "layer5_1.conv2d_list.0.weight" in sd
+    got = sd["layer6.conv2d_list.1.weight"].numpy()
+    np.testing.assert_array_equal(
+        got, np.transpose(np.asarray(want["layer6"]["branch1_kernel"]), (3, 2, 0, 1))
+    )
+    np.testing.assert_array_equal(
+        sd["conv1.weight"].numpy(),
+        np.transpose(np.asarray(want["conv1"]["kernel"]), (3, 2, 0, 1)),
+    )
