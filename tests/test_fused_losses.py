@@ -123,3 +123,32 @@ def test_upsample_ce_matches_unfused():
         upsample_bilinear_align_corners(l, (HH, WW)), label))(logits)
     g_got = jax.grad(lambda l: upsample_ce(l, label, chunk_rows=8))(logits)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-3, atol=1e-6)
+
+
+def test_fused_degenerate_inputs_stay_finite():
+    """All-ignored labels + tie-heavy uniform logits: every component and every
+    gradient must stay finite (the masked means divide by max(count, 1))."""
+    x1, x2, tp8, _, t1m, t2m = _inputs(3)
+    label = jnp.full((1, HH, WW), 255, jnp.int32)
+    x1u = jnp.zeros_like(x1)  # exact ties everywhere
+
+    def total(a, b):
+        m = _fused(a, b, tp8, label, t1m, t2m)
+        return (m["loss_p1"] + m["loss_p2"] + m["loss_y1"] + m["loss_y2"]
+                + m["place"] + m["anchor"])
+
+    val, grads = jax.value_and_grad(total, argnums=(0, 1))(x1u, x2)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fused_chunking_invariant_non_divisor():
+    """A requested chunk_rows that does not divide H must still produce the exact
+    same losses (the scan falls back to a divisor tile)."""
+    args = _inputs(4)
+    a = _fused(*args, chunk_rows=7)   # 7 does not divide 40
+    b = _fused(*args, chunk_rows=8)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=2e-6,
+                                   atol=1e-6, err_msg=k)
