@@ -20,7 +20,7 @@ directly-attached TPU host the transfer is ~1 ms and the cache wins.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp
