@@ -223,3 +223,37 @@ def test_export_torch_cli_roundtrip(tmp_path, monkeypatch):
         sd["conv1.weight"].numpy(),
         np.transpose(np.asarray(want["conv1"]["kernel"]), (3, 2, 0, 1)),
     )
+
+
+def test_export_import_identity_all_archs():
+    """export_state_dict -> import_state_dict is the identity for every model
+    family (multi already covered above; this pins VGG's features.{i}, the
+    single-head 4-branch ASPP, and v3's assp/classifier naming)."""
+    import pytest
+
+    from simt_tpu.models import DeepLabv3, DeeplabSingle, DeeplabVGG
+
+    builders = [
+        lambda: DeeplabSingle(num_classes=5, layers=(1, 1, 1, 1), dtype=jnp.float32),
+        lambda: DeeplabVGG(num_classes=5, dtype=jnp.float32),
+        lambda: DeepLabv3(num_classes=5, open_classes=3, openset=True,
+                          dtype=jnp.float32),
+    ]
+    for build in builders:
+        model = build()
+        variables = dict(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)),
+                                    False))
+        sd = export_state_dict(variables)
+        assert sd, type(model).__name__
+        zeroed = jax.tree.map(lambda a: a * 0, variables)
+        restored, report = import_state_dict(zeroed, sd)
+        assert not report["missing"], (type(model).__name__, report["missing"][:5])
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(variables)[0],
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(restored)[0],
+                   key=lambda kv: str(kv[0])),
+        ):
+            assert str(pa) == str(pb)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{type(model).__name__} {pa}")
