@@ -41,7 +41,7 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _setup():
+def _setup(batch_size: int = 1):
     """Config, models, state, jitted step — shared by both modes."""
     import jax
     import jax.numpy as jnp
@@ -60,7 +60,6 @@ def _setup():
     teacher = deeplab_multi(19, dtype=jnp.bfloat16)
 
     hw = (512, 1024)  # reference training geometry (INPUT_SIZE_TARGET '1024,512')
-    batch_size = 1
 
     # Initialise on the host CPU backend (the TPU-tunnel init costs ~2 minutes),
     # then transfer once.
@@ -76,6 +75,13 @@ def _setup():
     return cfg, state, step, hw, batch_size
 
 
+def _cli_batch_size() -> int:
+    """Optional --batch-size N (default 1; bs>=4 crashes this env's tunnel worker)."""
+    if "--batch-size" in sys.argv:
+        return int(sys.argv[sys.argv.index("--batch-size") + 1])
+    return 1
+
+
 def main():
     _enable_compilation_cache()
     import jax  # noqa: F401
@@ -83,7 +89,8 @@ def main():
 
     from simt_tpu.data import synthetic
 
-    cfg, state, step, hw, batch_size = _setup()
+    batch_size = _cli_batch_size()
+    cfg, state, step, hw, _ = _setup(batch_size)
     raw = synthetic.synthetic_batch(batch_size=batch_size, hw=hw, num_classes=19, seed=0)
     batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
 
@@ -105,7 +112,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "simt_train_steps_per_sec_bs1_512x1024",
+                "metric": f"simt_train_steps_per_sec_bs{batch_size}_512x1024",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),

@@ -136,19 +136,21 @@ def simt_loss_block(
     # ------- pass 1 (no grad): teacher thresholds (:354-362) as a uint8 label map ----
     # The teacher posterior contributes to the differentiated losses ONLY through the
     # integer ``conf`` labels (argmax where max-prob > hi, class C where < lo, else
-    # ignore) and the post-scan anchor rows. Computing ``conf`` in its own scan keeps
-    # the teacher upsample + threshold reductions OUT of the checkpointed main scan,
-    # whose backward would otherwise recompute them wholesale; the per-channel
-    # contraction order is identical, so the labels are bit-exact.
-    def conf_body(_, a_h_c):
-        tch = _upsample_chunk_cf(teacher_prob8, a_h_c, a_w, prec)  # (B, C, r, W)
-        tmax = jnp.max(tch, axis=1)
-        targ = jnp.argmax(tch, axis=1)
-        conf = jnp.where(tmax > threshold_high, targ, ignore_label)
-        conf = jnp.where(tmax < threshold_low, c, conf)
-        return 0, conf.astype(jnp.uint8)
-
-    _, conf_chunks = jax.lax.scan(conf_body, 0, a_h_chunks)  # (n_chunks, B, rows, W)
+    # ignore) and the post-scan anchor rows. Computing ``conf`` OUTSIDE the
+    # checkpointed main scan keeps the teacher upsample + threshold reductions out of
+    # its backward, and doing it UNSCANNED (one full-height two-GEMM upsample) beats
+    # a row-chunk scan: the per-chunk K=65 GEMMs ran at ~1.6 TFLOP/s inside a ~1 ms
+    # while loop, while the one-shot f32 intermediate is only (B, C, H, W) ≈ 40 MB —
+    # trivial against HBM bandwidth. Per-element H/W contractions are the same dots,
+    # so the labels match the chunked form.
+    tch = _upsample_chunk_cf(teacher_prob8, a_h, a_w, prec)  # (B, C, H, W)
+    tmax = jnp.max(tch, axis=1)
+    targ = jnp.argmax(tch, axis=1)
+    conf_full = jnp.where(tmax > threshold_high, targ, ignore_label)
+    conf_full = jnp.where(tmax < threshold_low, c, conf_full).astype(jnp.uint8)
+    conf_chunks = jnp.moveaxis(
+        conf_full.reshape(b, n_chunks, rows, ww), 1, 0
+    )  # (n_chunks, B, rows, W)
 
     def head_chunk_losses(pred, refined, label_c, tm, pseudo):
         """Per-head local sums on (B, C+O, rows, W) tiles. ``pseudo`` is the per-pixel
