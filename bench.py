@@ -16,6 +16,14 @@ Modes:
                                same, with the decoded-crop cache enabled
                                (DataConfig.crop_cache_dir): epoch 1 populates it,
                                the timed window runs decode-free
+  python bench.py --eval       two-scale eval throughput (tools/bench_eval.py)
+  python bench.py --warmup     warmup-stage train-step throughput
+                               (tools/bench_warmup.py; baseline is the SimT-stage
+                               proxy — no reference warmup log exists)
+
+Every mode prints exactly one JSON line with {"metric", "value", "unit",
+"vs_baseline"}; the default mode (no flags) is the driver's headline metric and is
+unchanged by the secondary modes.
 """
 
 import json
@@ -186,8 +194,24 @@ def main_pipeline():
     )
 
 
+def _run_tool(name: str):
+    """Dispatch a secondary mode to its tools/ implementation (same JSON contract)."""
+    import os
+
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    sys.path.insert(0, os.path.dirname(tools))
+    sys.path.insert(0, tools)
+    import importlib
+
+    importlib.import_module(name).main()
+
+
 if __name__ == "__main__":
-    if "--pipeline" in sys.argv:
+    if "--eval" in sys.argv:
+        _run_tool("bench_eval")
+    elif "--warmup" in sys.argv:
+        _run_tool("bench_warmup")
+    elif "--pipeline" in sys.argv:
         main_pipeline()
     else:
         main()

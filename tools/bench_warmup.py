@@ -62,7 +62,8 @@ def main():
         "metric": "warmup_train_steps_per_sec_bs1_512x1024",
         "value": round(sps, 2), "unit": "steps/s",
         # vs the SimT-stage reference rate (no warmup log exists; upper bound).
-        "vs_simt_baseline_proxy": round(sps / BASELINE_PROXY, 2),
+        "vs_baseline": round(sps / BASELINE_PROXY, 2),
+        "baseline_is_simt_stage_proxy": True,
     }))
 
 
