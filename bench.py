@@ -16,6 +16,11 @@ Modes:
                                same, with the decoded-crop cache enabled
                                (DataConfig.crop_cache_dir): epoch 1 populates it,
                                the timed window runs decode-free
+  python bench.py --pipeline --cache-teacher
+                               same, with the teacher-posterior cache enabled
+                               (SimTConfig.cache_teacher; composable with
+                               --crop-cache): epoch 1 populates it, the timed
+                               window skips the teacher forward
   python bench.py --eval       two-scale eval throughput (tools/bench_eval.py)
   python bench.py --warmup     warmup-stage train-step throughput
                                (tools/bench_warmup.py; baseline is the SimT-stage
@@ -49,7 +54,7 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _setup(batch_size: int = 1):
+def _setup(batch_size: int = 1, donate: bool = True):
     """Config, models, state, jitted step — shared by both modes."""
     import jax
     import jax.numpy as jnp
@@ -79,7 +84,7 @@ def _setup(batch_size: int = 1):
     sv = jax.device_put(sv, device)
     tv = jax.device_put(tv, device)
     state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
-    step = make_simt_step(student, teacher, cfg, donate=True)
+    step = make_simt_step(student, teacher, cfg, donate=donate)
     return cfg, state, step, hw, batch_size
 
 
@@ -146,7 +151,10 @@ def main_pipeline():
     from simt_tpu.data.synthetic import make_cityscapes_fixture
     from simt_tpu.train.loop import build_loader
 
-    cfg, state, step, hw, batch_size = _setup()
+    cache_teacher = "--cache-teacher" in sys.argv
+    # Teacher cache => no donation: the cache's jitted forward closes over the
+    # INITIAL state's teacher arrays (train/loop.py does the same).
+    cfg, state, step, hw, batch_size = _setup(donate=not cache_teacher)
 
     root = tempfile.mkdtemp(prefix="simt_bench_fixture_")
     try:
@@ -160,13 +168,23 @@ def main_pipeline():
             crop_cache_dir=crop_cache,
         ))
         raw_it = build_loader(cfg)
+        if cache_teacher:
+            import jax.numpy as jnp
+
+            from simt_tpu.models import deeplab_multi
+            from simt_tpu.train.teacher_cache import TeacherCache
+
+            cache = TeacherCache(deeplab_multi(19, dtype=jnp.bfloat16),
+                                 state.teacher_params, state.teacher_batch_stats)
+            raw_it = cache.wrap(iter(raw_it))
         step_keys = ("image", "label", "teacher_prob8")
 
         def it_():
             b = next(raw_it)
             return {k: v for k, v in b.items() if k in step_keys}
 
-        warm = 14 if "--crop-cache" in sys.argv else 3  # cover epoch 1 (12 imgs)
+        # Cover epoch 1 (12 imgs) when a cache needs populating.
+        warm = 14 if ("--crop-cache" in sys.argv or cache_teacher) else 3
         for _ in range(warm):
             state, metrics = step(state, it_())
         float(metrics["loss"])
@@ -185,7 +203,8 @@ def main_pipeline():
         json.dumps(
             {
                 "metric": "simt_train_steps_per_sec_bs1_512x1024_with_input_pipeline"
-                          + ("_crop_cache" if "--crop-cache" in sys.argv else ""),
+                          + ("_crop_cache" if "--crop-cache" in sys.argv else "")
+                          + ("_teacher_cache" if cache_teacher else ""),
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),

@@ -38,7 +38,7 @@ EVAL_OUT_HW = (1024, 2048)  # :108
 
 def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
                  out_hw: Tuple[int, int] = EVAL_OUT_HW):
-    """Jitted eval functions.
+    """Eval functions (each a composition of jitted programs).
 
     ``predict``: (variables, image, image_640) -> (B, *out_hw) int32 prediction map
     (used when prediction PNGs must be saved).
@@ -46,14 +46,16 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
     fused Pallas kernel (ops/pallas/eval_fused.py) — the fast path; full-resolution
     logit maps never touch HBM.
     ``hist_update``: running histogram accumulation.
+
+    Structure note: the per-scale model forwards are jitted SEPARATELY from the
+    Pallas-hist / argmax programs. Composing the merged-N wide ASPP head with the
+    fused Pallas kernel in ONE two-scale program reproducibly faults the v5e TPU
+    worker (pinned: experiments/wide_aspp_eval_fault/repro.py `fused_wide`); the
+    split composition is fault-free AND measured ~9% faster than the round-3
+    workaround (wide heads cloned to per-tap, one fused program): 58.3 vs 53.6
+    img/s on v5e (repro.py `split_wide` vs `fused_pertap`). The stride-8 logits
+    crossing the jit boundary are <1 MB/scale.
     """
-    # Eval uses the per-tap ASPP formulation: the merged-N wide head composed with
-    # the fused Pallas eval kernel in one two-scale program reproducibly faulted
-    # the v5e TPU worker (round-3 finding; each piece alone runs fine). Eval is
-    # forward-only, where the per-tap cost difference is small; training keeps the
-    # wide heads (models/layers.py aspp_apply docstring).
-    if hasattr(model, "aspp_wide") and model.aspp_wide:
-        model = model.clone(aspp_wide=False)
 
     def _head2(variables, image):
         """Head-2 logits; DeepLabv3 returns a single map (deeplabv3.py:129-138)."""
@@ -64,28 +66,32 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
         return out[1] if isinstance(out, tuple) else out
 
     @jax.jit
-    def predict(variables, image, image_640):
-        logits = upsample_bilinear_align_corners(
-            _head2(variables, image)[..., :num_classes].astype(jnp.float32), out_hw
-        )
-        if mode == "simt":
-            logits = logits + upsample_bilinear_align_corners(
-                _head2(variables, image_640)[..., :num_classes].astype(jnp.float32),
-                out_hw,
-            )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    def fwd(variables, image):
+        return _head2(variables, image)[..., :num_classes].astype(jnp.float32)
 
-    @jax.jit
-    def predict_hist(variables, image, image_640, gt):
-        from ..ops.pallas import multiscale_argmax_hist
-
-        a = _head2(variables, image)[..., :num_classes].astype(jnp.float32)
+    def _scales(variables, image, image_640):
+        a = fwd(variables, image)
         if mode == "simt":
-            b = _head2(variables, image_640)[..., :num_classes].astype(jnp.float32)
+            b = fwd(variables, image_640)
         else:
             # Warmup eval is single-scale (evaluate_cityscapes.py:196-197); a constant-0
             # second operand leaves the argmax unchanged.
             b = jnp.zeros((a.shape[0], 1, 1, num_classes), jnp.float32)
+        return a, b
+
+    @jax.jit
+    def _argmax_sum(a, b):
+        logits = upsample_bilinear_align_corners(a, out_hw)
+        if mode == "simt":
+            logits = logits + upsample_bilinear_align_corners(b, out_hw)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def predict(variables, image, image_640):
+        return _argmax_sum(*_scales(variables, image, image_640))
+
+    @jax.jit
+    def _hist_only(a, b, gt):
+        from ..ops.pallas import multiscale_argmax_hist
 
         def one(args):
             la, lb, g = args
@@ -94,6 +100,10 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
             )
 
         return jnp.sum(jax.lax.map(one, (a, b, gt)), axis=0)
+
+    def predict_hist(variables, image, image_640, gt):
+        a, b = _scales(variables, image, image_640)
+        return _hist_only(a, b, gt)
 
     @jax.jit
     def hist_update(hist, pred, gt):
