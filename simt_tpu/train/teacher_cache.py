@@ -12,10 +12,17 @@ probability), which can flip teacher argmax/threshold decisions only on razor-th
 disabled by default (``SimTConfig.cache_teacher``) so benchmarked parity work matches
 the reference's per-step teacher computation.
 
-Measured trade-off: on hosts where the device is reached over a network tunnel (this
-dev environment), the per-step 6.4 MB host->device posterior transfer costs more than
-the skipped ~8 ms teacher forward (12.4 vs 13.7 steps/s) — keep it off there. On a
-directly-attached TPU host the transfer is ~1 ms and the cache wins.
+Measured trade-off (round 4, `bench.py --pipeline [--crop-cache] --cache-teacher`,
+v5e over the dev tunnel): the cache LOSES in every configuration measurable on this
+host — 2.3 vs 7.6 steps/s standalone, 13.96 vs 16.4 steps/s composed with the
+decoded-crop cache — because the per-step ~6.4 MB host->device posterior transfer
+rides a ~11-16 MB/s tunnel while the skipped teacher forward costs only ~8 ms on
+device. The flag therefore ships OFF by default. The win hypothesis (a
+directly-attached host, where the transfer is ~1 ms against an ~8 ms saved forward
+and a disk-bound loader) is untestable in this environment; the implementation is
+kept product-side because it is exercised by tests (tests/test_teacher_cache.py)
+and is the only path that removes the reference's structurally redundant per-step
+teacher recompute (trainV2_simt.py:351-353).
 """
 
 from __future__ import annotations
