@@ -109,6 +109,11 @@ class SimTConfig:
     # 256 -> 38.3 ms — bigger chunks lose (larger live upsample buffers evict the
     # backward's working set), so the default stays 64.
     loss_chunk_rows: int = 64
+    # Streamed-loss core: "scan" (checkpointed lax.scan, ops/fused_losses.py) or
+    # "pallas" (VMEM-resident kernel with custom VJP, ops/pallas/loss_fused.py).
+    # Identical math, different accumulation order; see the bench ledger for the
+    # measured winner per backend.
+    loss_core: str = "scan"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -97,6 +97,7 @@ def simt_loss_block(
     ignore_label: int = 255,
     chunk_rows: int = 64,
     precision=None,
+    core: str = "scan",
 ) -> Dict[str, jax.Array]:
     """All full-resolution SimT losses (trainV2_simt.py:351-409) in one streamed pass.
 
@@ -108,6 +109,12 @@ def simt_loss_block(
     is used in training — a 6-pass HIGHEST upsample costs ~18 ms/step on v5e for a
     ~1e-2 logit difference that is irrelevant to SGD; evaluation (which gates mIoU
     parity) uses HIGHEST via ops/interp.py. On CPU (tests) f32 is exact either way.
+
+    ``core``: "scan" (default) streams row chunks through a checkpointed ``lax.scan``;
+    "pallas" runs the same per-chunk math VMEM-resident in a Pallas kernel with a
+    custom VJP (ops/pallas/loss_fused.py) — identical formulas, different accumulation
+    order (wtile-major), so results agree to float tolerance, not bitwise. Pass-1
+    (teacher thresholds) and the post-core finish (means, anchor rows) are shared.
     """
     c, o = num_classes, open_classes
     total = c + o
@@ -148,6 +155,20 @@ def simt_loss_block(
     targ = jnp.argmax(tch, axis=1)
     conf_full = jnp.where(tmax > threshold_high, targ, ignore_label)
     conf_full = jnp.where(tmax < threshold_low, c, conf_full).astype(jnp.uint8)
+    if core == "pallas":
+        from .pallas.loss_fused import simt_loss_core_pallas
+
+        (m1, i1, e1, m2, i2, e2), acc = simt_loss_core_pallas(
+            xcat, label, conf_full, t1m, t2m,
+            num_classes=c, open_classes=o, threshold_high=threshold_high,
+            ignore_label=ignore_label, chunk_rows=rows,
+        )
+        return _finish_losses(
+            acc, m1, i1, e1, m2, i2, e2, teacher_prob8, t1m, t2m,
+            a_h=a_h, a_w=a_w, hh=hh, ww=ww,
+            lambda_place=lambda_place, lambda_seg=lambda_seg, prec=prec,
+        )
+
     conf_chunks = jnp.moveaxis(
         conf_full.reshape(b, n_chunks, rows, ww), 1, 0
     )  # (n_chunks, B, rows, W)
@@ -262,6 +283,18 @@ def simt_loss_block(
          jnp.arange(n_chunks, dtype=jnp.int32)),
     )
     m1, i1, e1, m2, i2, e2, acc = carry
+    return _finish_losses(
+        acc, m1, i1, e1, m2, i2, e2, teacher_prob8, t1m, t2m,
+        a_h=a_h, a_w=a_w, hh=hh, ww=ww,
+        lambda_place=lambda_place, lambda_seg=lambda_seg, prec=prec,
+    )
+
+
+def _finish_losses(acc, m1, i1, e1, m2, i2, e2, teacher_prob8, t1m, t2m, *,
+                   a_h, a_w, hh, ww, lambda_place, lambda_seg, prec):
+    """Post-core finish shared by the scan and Pallas cores: masked means from the
+    16 accumulated (sum, count) pairs, anchor teacher rows at the winning pixels,
+    and the anchor/place compositions (trainV2_simt.py:374-384, :398-399)."""
     (ce1_s, ce1_n, k1_s, k1_n, u1_s, u1_n, y1_s, y1_n,
      ce2_s, ce2_n, k2_s, k2_n, u2_s, u2_n, y2_s, y2_n) = acc
 
