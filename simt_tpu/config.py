@@ -114,6 +114,15 @@ class SimTConfig:
     # Identical math, different accumulation order; see the bench ledger for the
     # measured winner per backend.
     loss_core: str = "scan"
+    # Paper-faithful T-identification mode (default False = reference-verbatim).
+    # The reference's inner W loop leaks 10 uncleared T-gradients of MSE(W@T, 0)
+    # into every T update (trainV2_simt.py:337 backward vs :317 zero_grad /
+    # :435 step). Measured (tests/test_planted_noise.py + docs/PARITY.md "NTM
+    # identification"): that leak — like lambda_volume >= ~0.3 — makes T converge
+    # to a class_dist-shaped smoothing attractor regardless of the actual noise;
+    # clearing it (with lambda_volume at the reference's own code default, 0.1)
+    # lets the anchor/fit/convex game identify a planted transition matrix.
+    clear_inner_t_grads: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

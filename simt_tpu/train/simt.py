@@ -360,8 +360,11 @@ def make_simt_step(model, teacher_model, cfg, donate: bool = False):
 
         # The inner-loop T grads add to the main-loss T grads (the reference quirk
         # documented above); they are NOT scaled by iter_size (:337 vs :427).
-        g_t1 = g_t1 + g_t1_inner
-        g_t2 = g_t2 + g_t2_inner
+        # clear_inner_t_grads=True is the opt-in paper-faithful mode (config.py):
+        # it discards the leak exactly as a zero_grad between :339 and :345 would.
+        if not getattr(s, "clear_inner_t_grads", False):
+            g_t1 = g_t1 + g_t1_inner
+            g_t2 = g_t2 + g_t2_inner
         # The optimizer partitions statically: it reads only the trainable leaves of
         # the grad tree, and frozen params pass through by reference (no HBM pass).
         params, opt_state = model_update(
