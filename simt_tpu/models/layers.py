@@ -87,6 +87,15 @@ def max_pool_ceil(x: jax.Array, window: int, stride: int, padding: int) -> jax.A
     Implemented as a floor-mode pool with asymmetric -inf padding
     ``(padding, padding + stride - 1)``: floor((H + 2p + s-1 - k)/s) + 1 == ceil-mode size.
     Valid for the DeepLab geometry (the extra window always overlaps real input here).
+
+    Measured non-win (round 4, don't redo): a shifted-slice formulation of the
+    3x3/2 pool (even/odd row folds + elementwise max, value-identical — the
+    all-GEMM-conv trick applied to pooling) removes the two 0.16 ms reduce-window
+    HLOs from the SimT step trace but the full step is NEUTRAL (3x A/B on v5e:
+    off 36.06/36.15/36.14 vs on 36.24/36.02/36.12 steps/s) — the pools overlap
+    with adjacent work. It also routes tie gradients differently from torch
+    (reduce-window matches F.max_pool2d bit-exactly at post-ReLU zero ties;
+    the maximum-tree does not), so it could never serve the warmup stage anyway.
     """
     pads = ((padding, padding + stride - 1), (padding, padding + stride - 1))
     return nn.max_pool(x, (window, window), strides=(stride, stride), padding=pads)
