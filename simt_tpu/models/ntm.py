@@ -59,6 +59,46 @@ def ntm_forward(
     return t / jnp.maximum(jnp.sum(t, axis=1, keepdims=True), 1e-12)
 
 
+def ntm_invert(t: np.ndarray, class_dist: np.ndarray, num_classes: int) -> np.ndarray:
+    """Exact inverse of :func:`ntm_forward` — solve sigmoid params P such that
+    ``normalize(sigmoid(P) * class_dist + [I; 0]) == t``.
+
+    Used to PLANT a known transition matrix inside the representable family for
+    identification experiments (tests/test_planted_noise.py,
+    experiments/planted_noise_tpu/): recovery becomes an identification problem,
+    not an approximation problem.
+
+    Row k's free scale Z_k (the pre-normalisation row sum) must put every
+    s_j = sigmoid(p_kj) in (0,1): known rows need Z in (1/t_kk, (1+cd_k)/t_kk)
+    intersected with the off-diagonal caps Z < cd_j/t_kj; open rows need
+    Z < min_j cd_j/t_kj. A mid-range Z is chosen per row; infeasibility (a planted
+    leak above its structural cap cd_j) raises ValueError.
+    """
+    c = num_classes
+    cd = np.asarray(class_dist, np.float64)
+    total = t.shape[0]
+    p = np.zeros((total, c), np.float64)
+    for k in range(total):
+        if k < c:
+            lo = 1.0 / t[k, k]
+            hi = (1.0 + cd[k]) / t[k, k]
+            for j in range(c):
+                if j != k and t[k, j] > 0:
+                    hi = min(hi, cd[j] / t[k, j])
+        else:
+            lo, hi = 0.0, min(cd[j] / t[k, j] for j in range(c) if t[k, j] > 0)
+        if not lo < hi:
+            raise ValueError(f"row {k}: leak above structural cap (lo={lo}, hi={hi})")
+        z = 0.5 * (lo + hi)
+        s = t[k] * z / cd
+        if k < c:
+            s[k] = (t[k, k] * z - 1.0) / cd[k]
+        eps = 1e-7
+        s = np.clip(s, eps, 1 - eps)
+        p[k] = np.log(s) - np.log1p(-s)
+    return p.astype(np.float32)
+
+
 def w_init(num_classes: int, open_classes: int = 0) -> jax.Array:
     """sig_W parameter init: constant 1/(classes-1) (deeplab_multi.py:269-272)."""
     total = num_classes + open_classes

@@ -167,39 +167,8 @@ T_ATTR = np.concatenate(
 T_ATTR = (T_ATTR + CLASS_DIST) / (1.0 + CLASS_DIST.sum())
 
 
-def ntm_invert(t: np.ndarray, cd: np.ndarray, c: int) -> np.ndarray:
-    """Exact inverse of models/ntm.py::ntm_forward — solve sigmoid params P s.t.
-    normalize(sigmoid(P)*cd + [I;0]) == t.
-
-    Row k's free scale Z_k (the pre-normalisation row sum) must put every
-    s_j = sigmoid(p_kj) in (0,1): known rows need Z in (1/t_kk, (1+cd_k)/t_kk)
-    intersected with the off-diagonal caps Z < cd_j/t_kj; open rows need
-    Z < min_j cd_j/t_kj. A mid-range Z is chosen per row; infeasibility (a planted
-    leak above its structural cap cd_j) raises."""
-    total = t.shape[0]
-    p = np.zeros((total, c), np.float64)
-    for k in range(total):
-        if k < c:
-            lo = 1.0 / t[k, k]
-            hi = (1.0 + cd[k]) / t[k, k]
-            for j in range(c):
-                if j != k and t[k, j] > 0:
-                    hi = min(hi, cd[j] / t[k, j])
-        else:
-            lo, hi = 0.0, min(cd[j] / t[k, j] for j in range(c) if t[k, j] > 0)
-        if not lo < hi:
-            raise ValueError(f"row {k}: leak above structural cap (lo={lo}, hi={hi})")
-        z = 0.5 * (lo + hi)
-        s = t[k] * z / cd
-        if k < c:
-            s[k] = (t[k, k] * z - 1.0) / cd[k]
-        eps = 1e-7
-        s = np.clip(s, eps, 1 - eps)
-        p[k] = np.log(s) - np.log1p(-s)
-    return p.astype(np.float32)
-
-
-P_STAR = ntm_invert(T_STAR, CLASS_DIST, C)
+# Exact closed-form inversion of the NTM parameterisation (models/ntm.py::ntm_invert).
+P_STAR = ntm_lib.ntm_invert(T_STAR, CLASS_DIST, C)
 # Representability is exact by construction; guard the fixture against drift.
 np.testing.assert_allclose(
     np.asarray(ntm_lib.ntm_forward(jnp.asarray(P_STAR), jnp.asarray(CLASS_DIST), C, O)),
