@@ -37,7 +37,7 @@ EVAL_OUT_HW = (1024, 2048)  # :108
 
 
 def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
-                 out_hw: Tuple[int, int] = EVAL_OUT_HW):
+                 out_hw: Tuple[int, int] = EVAL_OUT_HW, mesh=None):
     """Eval functions (each a composition of jitted programs).
 
     ``predict``: (variables, image, image_640) -> (B, *out_hw) int32 prediction map
@@ -46,6 +46,15 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
     fused Pallas kernel (ops/pallas/eval_fused.py) — the fast path; full-resolution
     logit maps never touch HBM.
     ``hist_update``: running histogram accumulation.
+
+    ``mesh``: optional (data, spatial) jax mesh — the spatially-sharded eval
+    (SURVEY.md §2.5 SP/CP row): images arrive H-sharded over ``spatial`` (GSPMD
+    partitions the dilated convs with automatic halo exchange, proven equal in
+    tests/test_parallel.py), and the upsample+argmax+hist head runs the
+    output-row-sharded Pallas kernel with a psum reduction
+    (ops/pallas/eval_fused.py::multiscale_argmax_hist_spatial). The reference runs
+    its 1000 eval forwards at 2048x1024 on one device, one at a time
+    (tools/evaluate_cityscapes.py:103-148).
 
     Structure note: the per-scale model forwards are jitted SEPARATELY from the
     Pallas-hist / argmax programs. Composing the merged-N wide ASPP head with the
@@ -101,9 +110,21 @@ def make_eval_fn(model, num_classes: int = 19, mode: str = "simt",
 
         return jnp.sum(jax.lax.map(one, (a, b, gt)), axis=0)
 
+    @jax.jit
+    def _hist_only_spatial(la, lb, g):
+        from ..ops.pallas import multiscale_argmax_hist_spatial
+
+        return multiscale_argmax_hist_spatial(
+            la, lb, g, mesh, out_hw=out_hw, num_classes=num_classes
+        )
+
     def predict_hist(variables, image, image_640, gt):
         a, b = _scales(variables, image, image_640)
-        return _hist_only(a, b, gt)
+        if mesh is None:
+            return _hist_only(a, b, gt)
+        # Per-image row-sharded kernel + psum (batch is 1 in the reference protocol;
+        # the stride-8 logits crossing shards are <1 MB/image).
+        return sum(_hist_only_spatial(a[i], b[i], gt[i]) for i in range(a.shape[0]))
 
     @jax.jit
     def hist_update(hist, pred, gt):
@@ -129,6 +150,7 @@ def evaluate(
     shard: Optional[Tuple[int, int]] = None,
     return_hist: bool = False,
     process_workers: bool = False,
+    mesh=None,
 ) -> float:
     """Run the full protocol; returns mIoU (percent, 2dp) like evaluate_cityscapes.py:162.
 
@@ -136,6 +158,12 @@ def evaluate(
     sums the 19x19 histograms across processes before computing mIoU — the distributed
     eval reduction the reference never had (SURVEY.md §5). Defaults to this process's
     jax.process_index()/count when multiple processes are initialised.
+
+    ``mesh``: optional (data, spatial) jax mesh — spatially-sharded eval (see
+    make_eval_fn): each image's forward and its 2048x1024 upsample+argmax+hist are
+    sharded over the ``spatial`` axis. Composable with ``shard`` (images across
+    processes, rows across a process's devices). Input heights at both scales and
+    ``out_hw[0]`` must divide the spatial axis size.
     """
     info = info or load_info()
     num_classes = int(info["classes"])
@@ -161,7 +189,18 @@ def evaluate(
                    loop=False, process_workers=process_workers)
         )
 
-    predict, predict_hist, hist_update = make_eval_fn(model, num_classes, mode, out_hw)
+    predict, predict_hist, hist_update = make_eval_fn(
+        model, num_classes, mode, out_hw, mesh=mesh
+    )
+    if mesh is not None:
+        # H-shard the images over `spatial` (GSPMD halo-exchanges the convs) and
+        # replicate the weights once; batch rides `data`.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS, replicate_state
+
+        img_sharding = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+        variables = replicate_state(variables, mesh)
     hist = jnp.zeros((num_classes, num_classes), jnp.int32)
 
     # Host-side gt decode overlaps with device compute (the 2048x1024 PNG decode would
@@ -201,8 +240,12 @@ def evaluate(
     while pending:
         fill()  # keep one batch of gt decodes in flight
         batch, batch_640, futures = pending.popleft()
-        image = jnp.asarray(batch["image"])
-        image_640 = jnp.asarray(batch_640["image"])
+        if mesh is not None:
+            image = jax.device_put(np.asarray(batch["image"]), img_sharding)
+            image_640 = jax.device_put(np.asarray(batch_640["image"]), img_sharding)
+        else:
+            image = jnp.asarray(batch["image"])
+            image_640 = jnp.asarray(batch_640["image"])
         gt_arr = jnp.asarray(np.stack([f.result() for f in futures]).astype(np.int32))
         if gt_arr.shape[1:] != out_hw:
             print_fn(

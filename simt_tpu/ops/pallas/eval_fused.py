@@ -66,38 +66,35 @@ def _kernel(a_h_a_ref, a_h_b_ref, gt_ref, la_ref, lb_ref, a_w_a_ref, a_w_b_ref,
     hist_ref[:] += part
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "num_classes", "chunk_rows"))
-def multiscale_argmax_hist(
-    logits_a: jax.Array,
-    logits_b: jax.Array,
+def _rowblock_hist(
+    a_h_a: jax.Array,
+    a_h_b: jax.Array,
     gt: jax.Array,
+    la_cf: jax.Array,
+    lb_cf: jax.Array,
+    a_w_a: jax.Array,
+    a_w_b: jax.Array,
     *,
-    out_hw: Tuple[int, int] = (1024, 2048),
-    num_classes: int = 19,
-    chunk_rows: int = 32,
+    num_classes: int,
+    chunk_rows: int,
 ) -> jax.Array:
-    """Fused eval head for ONE image: stride-8 logits from the two eval scales
-    (H8a,W8a,C) / (H8b,W8b,C) + ground truth (H,W) -> (C, C) int32 confusion matrix.
+    """Histogram contribution of one output ROW BLOCK.
 
-    Equivalent to upsample(a) + upsample(b), argmax, fast_hist (evaluate_cityscapes.py
-    :127-148) without materialising the full-resolution logit maps.
+    ``a_h_a``/``a_h_b``: (block_rows, h8) slices of the align-corners H-interp
+    matrices; ``gt``: the matching (block_rows, W) ground-truth rows; logits
+    channels-first, whole. The full-image kernel is the block_rows == H case; the
+    spatially-sharded eval (multiscale_argmax_hist_spatial) runs one block per
+    ``spatial`` shard and psums — the hist is a sum over output rows, so the
+    decomposition is exact.
     """
-    hh, ww = out_hw
     c = num_classes
-    h8a, w8a = logits_a.shape[0], logits_a.shape[1]
-    h8b, w8b = logits_b.shape[0], logits_b.shape[1]
+    blk, ww = gt.shape
     rows = chunk_rows
-    while hh % rows:  # largest divisor of hh that is <= chunk_rows
+    while blk % rows:  # largest divisor of blk that is <= chunk_rows
         rows -= 1
-    n_chunks = hh // rows
-
-    la_cf = jnp.moveaxis(logits_a.astype(jnp.float32), -1, 0)  # (C, h8a, w8a)
-    lb_cf = jnp.moveaxis(logits_b.astype(jnp.float32), -1, 0)
-    a_h_a = jnp.asarray(_interp_matrix(h8a, hh))
-    a_w_a = jnp.asarray(_interp_matrix(w8a, ww))
-    a_h_b = jnp.asarray(_interp_matrix(h8b, hh))
-    a_w_b = jnp.asarray(_interp_matrix(w8b, ww))
-    gt = gt.astype(jnp.int32)
+    n_chunks = blk // rows
+    h8a = la_cf.shape[1]
+    h8b = lb_cf.shape[1]
 
     kernel = functools.partial(_kernel, num_classes=c, rows=rows, w_out=ww)
     hist = pl.pallas_call(
@@ -120,3 +117,90 @@ def multiscale_argmax_hist(
         ),
     )(a_h_a, a_h_b, gt, la_cf, lb_cf, a_w_a, a_w_b)
     return hist.astype(jnp.int32)
+
+
+def _prep(logits_a, logits_b, gt, out_hw):
+    hh, ww = out_hw
+    la_cf = jnp.moveaxis(logits_a.astype(jnp.float32), -1, 0)  # (C, h8a, w8a)
+    lb_cf = jnp.moveaxis(logits_b.astype(jnp.float32), -1, 0)
+    a_h_a = jnp.asarray(_interp_matrix(la_cf.shape[1], hh))
+    a_w_a = jnp.asarray(_interp_matrix(la_cf.shape[2], ww))
+    a_h_b = jnp.asarray(_interp_matrix(lb_cf.shape[1], hh))
+    a_w_b = jnp.asarray(_interp_matrix(lb_cf.shape[2], ww))
+    return la_cf, lb_cf, a_h_a, a_w_a, a_h_b, a_w_b, gt.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "num_classes", "chunk_rows"))
+def multiscale_argmax_hist(
+    logits_a: jax.Array,
+    logits_b: jax.Array,
+    gt: jax.Array,
+    *,
+    out_hw: Tuple[int, int] = (1024, 2048),
+    num_classes: int = 19,
+    chunk_rows: int = 32,
+) -> jax.Array:
+    """Fused eval head for ONE image: stride-8 logits from the two eval scales
+    (H8a,W8a,C) / (H8b,W8b,C) + ground truth (H,W) -> (C, C) int32 confusion matrix.
+
+    Equivalent to upsample(a) + upsample(b), argmax, fast_hist (evaluate_cityscapes.py
+    :127-148) without materialising the full-resolution logit maps.
+    """
+    la_cf, lb_cf, a_h_a, a_w_a, a_h_b, a_w_b, gt = _prep(logits_a, logits_b, gt, out_hw)
+    return _rowblock_hist(
+        a_h_a, a_h_b, gt, la_cf, lb_cf, a_w_a, a_w_b,
+        num_classes=num_classes, chunk_rows=chunk_rows,
+    )
+
+
+def multiscale_argmax_hist_spatial(
+    logits_a: jax.Array,
+    logits_b: jax.Array,
+    gt: jax.Array,
+    mesh,
+    *,
+    out_hw: Tuple[int, int] = (1024, 2048),
+    num_classes: int = 19,
+    chunk_rows: int = 32,
+) -> jax.Array:
+    """Spatially-sharded fused eval head (SURVEY.md §2.5 SP/CP row, §5 long-context).
+
+    The 2048x1024 upsample+argmax+hist dominates eval FLOPs/bytes while its inputs —
+    the stride-8 logits — are tiny (~640 KB/scale). So instead of halo-exchanging
+    conv activations here, the OUTPUT rows are sharded over the mesh's ``spatial``
+    axis: every device holds the (replicated) logits, upsamples only its block of
+    output rows against its slice of the H-interp matrix and its slice of the ground
+    truth, computes the block's partial histogram with the fused Pallas kernel, and
+    the (C, C) histograms are ``psum``-ed over ICI. The row decomposition is exact
+    (the histogram is a sum over pixels), so this equals the single-device kernel
+    bit-for-bit. (The conv forward itself shards over H via GSPMD upstream —
+    eval/evaluate.py ``make_eval_fn(mesh=...)``.)
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from ...parallel.mesh import SPATIAL_AXIS
+
+    hh, _ = out_hw
+    n_sp = mesh.shape[SPATIAL_AXIS]
+    if hh % n_sp:
+        raise ValueError(f"out height {hh} not divisible by spatial={n_sp}")
+
+    la_cf, lb_cf, a_h_a, a_w_a, a_h_b, a_w_b, gt = _prep(logits_a, logits_b, gt, out_hw)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(SPATIAL_AXIS, None), P(SPATIAL_AXIS, None), P(SPATIAL_AXIS, None),
+                  P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # the pallas_call inside is opaque to the varying-axis checker
+    )
+    def body(a_h_a_blk, a_h_b_blk, gt_blk, la, lb, awa, awb):
+        part = _rowblock_hist(
+            a_h_a_blk, a_h_b_blk, gt_blk, la, lb, awa, awb,
+            num_classes=num_classes, chunk_rows=chunk_rows,
+        )
+        return jax.lax.psum(part, SPATIAL_AXIS)
+
+    return body(a_h_a, a_h_b, gt, la_cf, lb_cf, a_w_a, a_w_b)

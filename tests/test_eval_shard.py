@@ -46,3 +46,30 @@ def test_sharded_eval_composes(setup):
     assert hist0.sum() > 0 and hist1.sum() > 0
     assert hist0.sum() < hist_full.sum() and hist1.sum() < hist_full.sum()
     assert 0.0 <= m0 <= 100.0 and 0.0 <= m1 <= 100.0
+
+
+def test_spatially_sharded_eval_matches_single_device(setup):
+    """The CP-analog flagship (SURVEY.md §2.5 SP/CP row): the two-scale eval forward
+    sharded over `spatial` (GSPMD conv halo exchange) + the output-row-sharded Pallas
+    hist with psum must reproduce the single-device histogram exactly."""
+    from simt_tpu.parallel import make_mesh
+
+    paths, model, variables = setup
+    kw = dict(
+        data_root=paths["root"], val_list=paths["val_txt"], gt_dir=paths["gt_dir"],
+        mode="simt", scales=((32, 16), (40, 20)), out_hw=(32, 64),
+        print_fn=lambda s: None, return_hist=True,
+    )
+    full, hist_full = evaluate(model, variables, **kw)
+
+    # Pure spatial 1x4: image heights 16/20 and the 32 output rows split over H.
+    m_sp, hist_sp = evaluate(model, variables, mesh=make_mesh(data=1, spatial=4), **kw)
+    np.testing.assert_array_equal(hist_sp, hist_full)
+    assert m_sp == full
+
+    # Mixed DP+SP (2x4) at batch 2: images over `data`, rows over `spatial`.
+    m_dp, hist_dp = evaluate(
+        model, variables, batch_size=2, mesh=make_mesh(data=2, spatial=4), **kw
+    )
+    np.testing.assert_array_equal(hist_dp, hist_full)
+    assert m_dp == full

@@ -29,7 +29,7 @@ def main():
 
     from simt_tpu.eval import evaluate
     from simt_tpu.train import checkpoint as ckpt_lib
-    from simt_tpu.train.loop import build_models
+    from simt_tpu.train.loop import build_mesh, build_models
 
     paths = None
     if args.synthetic:
@@ -56,7 +56,10 @@ def main():
         model, variables,
         data_root=cfg.data.root if paths is None else paths["root"],
         val_list=val_list, gt_dir=gt_dir, mode=args.mode, process_workers=cfg.data.process_workers,
-        batch_size=cfg.data.batch_size, save_dir=args.save_dir, **eval_kw,
+        batch_size=cfg.data.batch_size, save_dir=args.save_dir,
+        # --mesh-spatial N: spatially-sharded eval (SURVEY.md §2.5 SP/CP row) —
+        # H-sharded conv forward + output-row-sharded fused hist with psum.
+        mesh=build_mesh(cfg), **eval_kw,
     )
     print("Finish Evaluation: " + time.asctime(time.localtime(time.time())))
     return miou
