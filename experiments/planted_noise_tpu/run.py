@@ -110,7 +110,7 @@ class Fixture:
     THRESH_HIGH = 0.60  # boundary-unbiased (see tests/test_planted_noise.py docstring)
     THRESH_LOW = 0.32   # above every open row's max (~0.29), below known-core conf
 
-    def __init__(self, pairs: int, extra: int, opens: int, hw):
+    def __init__(self, pairs: int, extra: int, opens: int, hw, known_pi):
         self.C = 2 * pairs + extra
         self.O = opens
         self.TOTAL = self.C + self.O
@@ -122,18 +122,13 @@ class Fixture:
         self.G8 = (self.G[0] + 1, self.G[1] + 1)
         C, O = self.C, self.O
 
-        # Priors: road pair dominant, other knowns asymmetric within pairs, opens rare.
+        # Priors: explicit known-class weights (must sum to 0.85 — road pair dominant,
+        # other pairs asymmetric), opens rare at 0.15 total. Every structural leak cap
+        # below is cd_j-bounded, so the priors and T* must be designed together.
         pi = np.zeros(self.TOTAL)
-        pi[0], pi[1] = 0.20, 0.12
-        rest = 0.85 - 0.32
-        for p in range(1, pairs):
-            pi[2 * p] = rest * 0.055 / 0.53 * (9.0 / max(pairs, 1))
-            pi[2 * p + 1] = rest * 0.035 / 0.53 * (9.0 / max(pairs, 1))
-        used = pi[: 2 * pairs].sum()
-        if extra:
-            pi[2 * pairs: C] = (0.85 - used) / extra
-        else:
-            pi[: 2 * pairs] *= 0.85 / used
+        known_pi = np.asarray(known_pi, np.float64)
+        assert known_pi.shape == (C,) and abs(known_pi.sum() - 0.85) < 1e-6
+        pi[:C] = known_pi
         pi[C:] = 0.15 / O
         pi /= pi.sum()
         self.PI = pi.astype(np.float32)
@@ -154,7 +149,7 @@ class Fixture:
                 row[0] = 0.05
                 if k < 2 * pairs:
                     partner = k ^ 1
-                    row[partner] = 0.04 if (k % 2) else 0.008  # asymmetric pair leak
+                    row[partner] = 0.035 if (k % 2) else 0.008  # asymmetric pair leak
             row[k] = 1.0 - row.sum()
             t[k] = row
         # Solve the open-row fixed point: open rows == cd == sum_c pi_c T*[c]
@@ -285,10 +280,12 @@ def transfer_params(src_tree, dst_tree):
 def main():
     a = ARGS
     if a.smoke:
-        fx = Fixture(pairs=2, extra=1, opens=3, hw=(64, 128))
+        fx = Fixture(pairs=2, extra=1, opens=3, hw=(64, 128),
+                     known_pi=[0.22, 0.13, 0.20, 0.12, 0.18])
         layers, dtype_name = (1, 1, 1, 1), "float32"
     else:
-        fx = Fixture(pairs=9, extra=1, opens=15, hw=(512, 1024))
+        fx = Fixture(pairs=9, extra=1, opens=15, hw=(512, 1024),
+                     known_pi=[0.15, 0.09] + [0.042, 0.028] * 8 + [0.05])
         layers, dtype_name = (3, 4, 23, 3), "bfloat16"
     dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     C, O, HW = fx.C, fx.O, fx.HW
@@ -411,6 +408,29 @@ def main():
     student = model_of(True)
     shist = make_hist_fn(student)
 
+    t_star_known = jnp.asarray(fx.T_STAR[:C])
+
+    @jax.jit
+    def anchor_diag(variables, image, tprob8, clean):
+        """Realized-anchor quality (trainV2_simt.py:374-384 picks exactly these rows
+        as T's targets): per known channel k, the teacher posterior at the student's
+        max-logit pixel vs the planted T* row (L1), whether that pixel's CLEAN class
+        is k (is the anchor point on-class?), and the teacher row's own max there
+        (is the teacher confident?)."""
+        _, x2 = student.apply(variables, image, False)
+        lg = up(x2.astype(jnp.float32), HW).reshape(-1, C + O)
+        tp = up(tprob8.astype(jnp.float32), HW).reshape(-1, C)
+        idx = jnp.argmax(lg, axis=0)  # (C+O,)
+        rows = tp[idx]  # (C+O, C)
+        err = jnp.abs(rows[:C] - t_star_known).sum(1)  # (C,)
+        on_class = clean.reshape(-1)[idx[:C]] == jnp.arange(C)
+        conf = rows[:C].max(1)
+        return err, on_class, conf
+
+    def anchor_err(variables, image, tprob8, clean):
+        err, _, _ = anchor_diag(variables, image, tprob8, clean)
+        return float(err.mean())
+
     def run_simt_arm(name, simt_kw=None, oracle_t=False, lr_t=None):
         scfg = make_cfg("simt", a.train_steps, a.lr,
                         a.lr_t if lr_t is None else lr_t, **(simt_kw or {}))
@@ -429,8 +449,11 @@ def main():
 
         def simt_eval(st, m):
             v = {"params": st.model.params, "batch_stats": st.model.batch_stats}
+            b0 = train_data[0]
             rec = {"train_clean_miou": round(miou(shist, v, train_data), 4),
-                   "val_miou": round(miou(shist, v, val_data), 4)}
+                   "val_miou": round(miou(shist, v, val_data), 4),
+                   "anchor_err_known": round(anchor_err(
+                       v, b0["image"], b0["teacher_prob8"], b0["_clean"]), 4)}
             rec.update({k: round(val, 4) for k, val in t_metrics(st).items()})
             for key in ("loss_seg_p", "loss_seg_y", "convex", "volume",
                         "anchor", "place"):
@@ -443,7 +466,22 @@ def main():
                                  simt_eval, name)
         t1_final = np.asarray(ntm_lib.ntm_forward(
             sstate.t1.param, jnp.asarray(fx.CLASS_DIST), C, O))
-        return {"init": init_t, "traj": traj, **traj[-1],
+        # Anchor-point-assumption post-mortem across all train batches: how often is
+        # the student's per-channel most-confident pixel actually ON its clean class,
+        # and how confident is the teacher there?
+        v = {"params": sstate.model.params, "batch_stats": sstate.model.batch_stats}
+        errs, ons, confs = [], [], []
+        for b in train_data:
+            e, oc, cf = anchor_diag(v, b["image"], b["teacher_prob8"], b["_clean"])
+            errs.append(np.asarray(e)); ons.append(np.asarray(oc))
+            confs.append(np.asarray(cf))
+        diag = {"anchor_on_class_frac": round(float(np.mean(ons)), 4),
+                "anchor_teacher_conf_mean": round(float(np.mean(confs)), 4),
+                "anchor_err_known_mean": round(float(np.mean(errs)), 4)}
+        print(f"[{name}] anchor diag {diag}", flush=True)
+        print(f"[{name}] per-ch err (batch0): "
+              + " ".join(f"{x:.2f}" for x in errs[0]), flush=True)
+        return {"init": init_t, "traj": traj, **traj[-1], **diag,
                 "t1_diag_final": [round(float(x), 4)
                                   for x in np.diag(t1_final[:C])]}
 
