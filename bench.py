@@ -63,12 +63,11 @@ def _setup(batch_size: int = 1, donate: bool = True):
     from simt_tpu.models import deeplab_multi
     from simt_tpu.train import create_simt_state, make_simt_step
 
-    loss_core = "pallas" if "--loss-core-pallas" in sys.argv else "scan"
     cfg = TrainConfig(
         model=ModelConfig(num_classes=19, open_classes=15, openset=True,
                           compute_dtype="bfloat16"),
         optim=OptimConfig(),
-        simt=SimTConfig(loss_core=loss_core),
+        simt=SimTConfig(),
     )
     student = deeplab_multi(19, 15, openset=True, dtype=jnp.bfloat16)
     teacher = deeplab_multi(19, dtype=jnp.bfloat16)
@@ -126,9 +125,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"simt_train_steps_per_sec_bs{batch_size}_512x1024"
-                          + ("_pallas_loss" if "--loss-core-pallas" in sys.argv
-                             else ""),
+                "metric": f"simt_train_steps_per_sec_bs{batch_size}_512x1024",
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),

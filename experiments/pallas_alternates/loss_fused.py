@@ -40,7 +40,51 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..interp import _interp_matrix
+from simt_tpu.ops.interp import _interp_matrix
+
+
+def loss_block_pallas(
+    x1, x2, teacher_prob8, label, t1m, t2m, *,
+    num_classes, open_classes, threshold_high, threshold_low,
+    lambda_place, lambda_seg, ignore_label=255, chunk_rows=64, precision=None,
+):
+    """simt_loss_block with the Pallas VMEM-resident core — the former
+    ``SimTConfig.loss_core="pallas"`` branch, preserved here verbatim for the
+    equivalence tests (pass-1 teacher thresholds and the post-core finish are the
+    product's own helpers; only the streamed core differs)."""
+    from simt_tpu.ops.fused_losses import (
+        _chunk_rows, _finish_losses, _upsample_chunk_cf,
+    )
+
+    c, o = num_classes, open_classes
+    b, h8, w8, _ = x1.shape
+    _, hh, ww = label.shape
+    rows = _chunk_rows(hh, chunk_rows)
+
+    a_h = jnp.asarray(_interp_matrix(h8, hh))
+    a_w = jnp.asarray(_interp_matrix(w8, ww))
+    prec = precision
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    teacher_prob8 = teacher_prob8.astype(jnp.float32)
+    xcat = jnp.concatenate([x1, x2], axis=-1)
+
+    tch = _upsample_chunk_cf(teacher_prob8, a_h, a_w, prec)
+    tmax = jnp.max(tch, axis=1)
+    targ = jnp.argmax(tch, axis=1)
+    conf_full = jnp.where(tmax > threshold_high, targ, ignore_label)
+    conf_full = jnp.where(tmax < threshold_low, c, conf_full).astype(jnp.uint8)
+
+    (m1, i1, e1, m2, i2, e2), acc = simt_loss_core_pallas(
+        xcat, label, conf_full, t1m, t2m,
+        num_classes=c, open_classes=o, threshold_high=threshold_high,
+        ignore_label=ignore_label, chunk_rows=rows,
+    )
+    return _finish_losses(
+        acc, m1, i1, e1, m2, i2, e2, teacher_prob8, t1m, t2m,
+        a_h=a_h, a_w=a_w, hh=hh, ww=ww,
+        lambda_place=lambda_place, lambda_seg=lambda_seg, prec=prec,
+    )
 
 _NEG = -3.4e38  # ~f32 lowest; used for running-max inits
 _BIG_IDX = np.int32(2**31 - 1)
@@ -476,7 +520,11 @@ def _loss_core_bwd(c, total, rows, wtile, hh, ww, threshold_high, ignore, interp
         ),
     )(g_sums, a_h, a_w, label, conf, xcat_cf, t1m, t2m, t1m.T, t2m.T)
     zeros = jnp.zeros_like
-    return dx, dt1, dt2, zeros(a_h), zeros(a_w), zeros(label), zeros(conf)
+
+    def f0(x):  # integer primals take float0 cotangents per the custom_vjp contract
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return dx, dt1, dt2, zeros(a_h), zeros(a_w), f0(label), f0(conf)
 
 
 _loss_core.defvjp(_loss_core_fwd, _loss_core_bwd)
@@ -517,6 +565,19 @@ def simt_loss_core_pallas(
     _, hh, ww = label.shape
     wt = wtile or _choose_wtile(ww)
     interp = jax.default_backend() == "cpu"
+    # Kernel preconditions (loud, not silent): the sums-reduce trick needs sublane-
+    # aligned row chunks, and a non-lane-aligned wtile would fail Mosaic compilation
+    # on TPU for widths with no 128-multiple divisor.
+    if chunk_rows % 8:
+        raise ValueError(f"chunk_rows={chunk_rows} must be a multiple of 8")
+    if not interp and wt % 128:
+        raise ValueError(
+            f"width {ww} has no 128-multiple divisor <= 256 (wtile={wt}); "
+            "pad the width or pass an explicit lane-aligned wtile"
+        )
+    # NOTE: SIMT_PALLAS_DEBUG_SECTIONS gates sections of the FORWARD kernel only
+    # (triage tool); gradients are always the full custom VJP, so set it only for
+    # forward-value bisection, never under jax.grad.
 
     a_h = jnp.asarray(_interp_matrix(h8, hh))  # (H, h8)
     a_w = jnp.asarray(_interp_matrix(w8, ww))  # (W, w8)

@@ -5,7 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from simt_tpu.ops.pallas.conv3x3 import dilated_conv3x3
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from conv3x3 import dilated_conv3x3
 
 
 def _xla(x, w, d):
@@ -45,8 +47,6 @@ def test_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk2), rtol=1e-3, atol=1e-3)
 
 
-def test_model_uses_xla_path_on_cpu():
-    from simt_tpu.models.layers import use_pallas_conv
-
-    assert use_pallas_conv(2) is False  # tests run on the CPU backend
-    assert use_pallas_conv(1) is False
+# (A former test asserted the product's SIMT_PALLAS_CONV gate was off by default;
+# the gate was removed entirely in round 5 — the product path is always the
+# shifted-slice GEMM formulation in simt_tpu/ops/conv.py.)

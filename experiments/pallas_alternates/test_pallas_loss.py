@@ -6,12 +6,19 @@ surface: the six scalar losses and the gradients wrt both heads' logits and both
 transition matrices (the exact cotangents the train step consumes).
 """
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+if __name__ == "__main__" or "pallas_alternates" not in sys.path[0]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from simt_tpu.ops.fused_losses import simt_loss_block
+from loss_fused import loss_block_pallas
 
 C, O = 4, 2
 TOTAL = C + O
@@ -32,12 +39,13 @@ def _fixture(seed, b=1, h8=9, w8=17, hh=64, ww=128):
 
 def _losses(core, args, chunk_rows=16, wtile_kw=None):
     x1, x2, tp, label, t1, t2 = args
-    return simt_loss_block(
+    fn = simt_loss_block if core == "scan" else loss_block_pallas
+    return fn(
         x1, x2, tp, label, t1, t2,
         num_classes=C, open_classes=O,
         threshold_high=0.6, threshold_low=0.3,
         lambda_place=0.1, lambda_seg=0.1,
-        ignore_label=255, chunk_rows=chunk_rows, core=core,
+        ignore_label=255, chunk_rows=chunk_rows,
     )
 
 
@@ -61,12 +69,13 @@ def test_pallas_core_grads_match_scan(seed):
     args = _fixture(seed)
 
     def total_loss(core, x1, x2, t1, t2):
-        l = simt_loss_block(
+        fn = simt_loss_block if core == "scan" else loss_block_pallas
+        l = fn(
             x1, x2, args[2], args[3], t1, t2,
             num_classes=C, open_classes=O,
             threshold_high=0.6, threshold_low=0.3,
             lambda_place=0.1, lambda_seg=0.1,
-            ignore_label=255, chunk_rows=16, core=core,
+            ignore_label=255, chunk_rows=16,
         )
         # The composition the train step differentiates (weights arbitrary
         # but fixed): every loss participates.

@@ -4,8 +4,10 @@
 Round-3 finding: composing the merged-N wide ASPP head (ops/conv.py::aspp_sum_wide)
 with the fused Pallas eval kernel (ops/pallas/eval_fused.py) in ONE two-scale eval
 program reproducibly faults the v5e tunnel worker (UNAVAILABLE; the chip recovers on
-the next process). Each piece alone runs fine. Production eval therefore clones
-models with aspp_wide=False (eval/evaluate.py make_eval_fn).
+the next process). Each piece alone runs fine. Round-3 production eval therefore
+cloned models with aspp_wide=False; since round 4 the shipped structure is
+`split_wide` below — wide heads kept, forward jitted separately from the Pallas
+hist program (see README.md "Outcome (wired in round 4)" and eval/evaluate.py).
 
 This script pins the repro and measures the cheap restructurings, one variant per
 process (a fault kills the process, so run them separately):

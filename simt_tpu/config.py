@@ -109,11 +109,6 @@ class SimTConfig:
     # 256 -> 38.3 ms — bigger chunks lose (larger live upsample buffers evict the
     # backward's working set), so the default stays 64.
     loss_chunk_rows: int = 64
-    # Streamed-loss core: "scan" (checkpointed lax.scan, ops/fused_losses.py) or
-    # "pallas" (VMEM-resident kernel with custom VJP, ops/pallas/loss_fused.py).
-    # Identical math, different accumulation order; see the bench ledger for the
-    # measured winner per backend.
-    loss_core: str = "scan"
     # Paper-faithful T-identification mode (default False = reference-verbatim).
     # The reference's inner W loop leaks 10 uncleared T-gradients of MSE(W@T, 0)
     # into every T update (trainV2_simt.py:337 backward vs :317 zero_grad /

@@ -121,19 +121,11 @@ def conv3x3_param(mod: nn.Module, scope_name: str, c_in: int, c_out: int) -> jax
     return conv_kernel_param(scope_name, (3, 3, c_in, c_out))
 
 
-def use_pallas_conv(dilation: int = 1) -> bool:
-    """Whether bottleneck 3x3 convs use the Pallas implicit-GEMM kernel
-    (ops/pallas/conv3x3.py). Measured on v5e: the kernel beats XLA's conv lowering by
-    ~15-30% *in isolation* (62 vs 48 TFLOP/s at the layer3 geometry), but in the full
-    graph it LOSES ~20% end-to-end because pallas_call boundaries stop XLA from fusing
-    the surrounding BN/ReLU/residual elementwise work into the conv loops. Off by
-    default; set SIMT_PALLAS_CONV=1 to enable for dilated (layer3/4) convs on TPU.
-    Layer1/2's 64/128-channel tiles additionally hit a Mosaic layout-cast limitation."""
-    import os
-
-    if os.environ.get("SIMT_PALLAS_CONV") != "1":
-        return False
-    return dilation > 1 and jax.default_backend() == "tpu"
+# A Pallas implicit-GEMM 3x3 kernel was measured against the shifted-slice GEMM
+# formulation below and LOSES ~20% end-to-end (wins 15-30% in isolation; pallas_call
+# boundaries stop XLA from fusing the surrounding BN/ReLU/residual elementwise work
+# into the conv loops). It lives in experiments/pallas_alternates/conv3x3.py with its
+# tests and the measured ledger.
 
 
 class Bottleneck(nn.Module):
@@ -167,15 +159,9 @@ class Bottleneck(nn.Module):
         out = batch_norm(name="bn1", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
         w2 = conv3x3_param(self, "conv2", self.planes, self.planes)
-        if use_pallas_conv(self.dilation):
-            from ..ops.pallas.conv3x3 import dilated_conv3x3
-
-            out = dilated_conv3x3(out.astype(self.dtype), w2.astype(self.dtype),
-                                  self.dilation)
-        else:
-            out = dilated_conv3x3_taps(
-                out.astype(self.dtype), w2.astype(self.dtype), self.dilation
-            )
+        out = dilated_conv3x3_taps(
+            out.astype(self.dtype), w2.astype(self.dtype), self.dilation
+        )
         out = batch_norm(name="bn2", dtype=self.dtype)(out, use_running_average=use_ra)
         out = nn.relu(out)
         w3 = conv_kernel_param("conv3", (1, 1, self.planes, self.planes * 4))

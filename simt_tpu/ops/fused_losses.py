@@ -97,7 +97,6 @@ def simt_loss_block(
     ignore_label: int = 255,
     chunk_rows: int = 64,
     precision=None,
-    core: str = "scan",
 ) -> Dict[str, jax.Array]:
     """All full-resolution SimT losses (trainV2_simt.py:351-409) in one streamed pass.
 
@@ -110,11 +109,10 @@ def simt_loss_block(
     ~1e-2 logit difference that is irrelevant to SGD; evaluation (which gates mIoU
     parity) uses HIGHEST via ops/interp.py. On CPU (tests) f32 is exact either way.
 
-    ``core``: "scan" (default) streams row chunks through a checkpointed ``lax.scan``;
-    "pallas" runs the same per-chunk math VMEM-resident in a Pallas kernel with a
-    custom VJP (ops/pallas/loss_fused.py) — identical formulas, different accumulation
-    order (wtile-major), so results agree to float tolerance, not bitwise. Pass-1
-    (teacher thresholds) and the post-core finish (means, anchor rows) are shared.
+    The streamed core is a checkpointed ``lax.scan`` over row chunks. A VMEM-resident
+    Pallas twin with a custom VJP was measured NEUTRAL on v5e (35.47 vs 35.9 steps/s
+    at HEAD — the scan's per-chunk GEMMs already overlap with the surrounding step)
+    and lives in experiments/pallas_alternates/loss_fused.py with its tests.
     """
     c, o = num_classes, open_classes
     total = c + o
@@ -155,20 +153,6 @@ def simt_loss_block(
     targ = jnp.argmax(tch, axis=1)
     conf_full = jnp.where(tmax > threshold_high, targ, ignore_label)
     conf_full = jnp.where(tmax < threshold_low, c, conf_full).astype(jnp.uint8)
-    if core == "pallas":
-        from .pallas.loss_fused import simt_loss_core_pallas
-
-        (m1, i1, e1, m2, i2, e2), acc = simt_loss_core_pallas(
-            xcat, label, conf_full, t1m, t2m,
-            num_classes=c, open_classes=o, threshold_high=threshold_high,
-            ignore_label=ignore_label, chunk_rows=rows,
-        )
-        return _finish_losses(
-            acc, m1, i1, e1, m2, i2, e2, teacher_prob8, t1m, t2m,
-            a_h=a_h, a_w=a_w, hh=hh, ww=ww,
-            lambda_place=lambda_place, lambda_seg=lambda_seg, prec=prec,
-        )
-
     conf_chunks = jnp.moveaxis(
         conf_full.reshape(b, n_chunks, rows, ww), 1, 0
     )  # (n_chunks, B, rows, W)

@@ -281,7 +281,6 @@ def make_simt_step(model, teacher_model, cfg, donate: bool = False):
                     threshold_high=s.threshold_high, threshold_low=s.threshold_low,
                     lambda_place=s.lambda_place, lambda_seg=s.lambda_seg,
                     ignore_label=ignore, chunk_rows=s.loss_chunk_rows,
-                    core=getattr(s, "loss_core", "scan"),
                 )
                 loss_p1, loss_p2 = losses["loss_p1"], losses["loss_p2"]
                 loss_y1, loss_y2 = losses["loss_y1"], losses["loss_y2"]

@@ -64,6 +64,8 @@ def main():
                    choices=["step", "fwdbwd", "fwd", "teacher", "trunk"])
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="train-step batch size (bs>=4 crashes this env's tunnel)")
     args = p.parse_args()
 
     import common  # noqa: F401
@@ -89,7 +91,8 @@ def main():
     student = deeplab_multi(19, 15, openset=True, dtype=jnp.bfloat16)
     teacher = deeplab_multi(19, dtype=jnp.bfloat16)
     hw = (512, 1024)
-    init_x = jnp.zeros((1, *hw, 3), jnp.float32)
+    bs = args.batch_size
+    init_x = jnp.zeros((bs, *hw, 3), jnp.float32)
     with jax.default_device(jax.devices("cpu")[0]):
         sv = student.init(jax.random.PRNGKey(0), init_x, False)
         tv = teacher.init(jax.random.PRNGKey(1), init_x, False)
@@ -98,7 +101,7 @@ def main():
     tv = jax.device_put(tv, device)
     state = create_simt_state(sv, tv, cfg, jax.random.PRNGKey(2))
 
-    raw = synthetic.synthetic_batch(batch_size=1, hw=hw, num_classes=19, seed=0)
+    raw = synthetic.synthetic_batch(batch_size=bs, hw=hw, num_classes=19, seed=0)
     batch = {"image": jnp.asarray(raw["image"]), "label": jnp.asarray(raw["label"])}
 
     if args.what == "trunk":
