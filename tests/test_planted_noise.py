@@ -10,12 +10,15 @@ control, the reference-VERBATIM mechanism, and the PAPER-FAITHFUL mode
 (SimTConfig.clear_inner_t_grads=True + the reference's code-default
 lambda_volume=0.1; see docs/PARITY.md "NTM identification"), plus an ORACLE arm
 with T frozen at the planted T* that isolates the loss mechanism from the
-T-estimation problem. The three arms pin the full causal chain, each link
-measured (400-step schedule, seed 0; deterministic for a fixed XLA config, but
-the 450-step trajectory is chaotic ACROSS configs — the suite's 8-virtual-device
-environment and a plain single-device run differ by up to ~0.03 val / ~0.03 dTk,
-so thresholds carry margin against both measured points; suite-env numbers
-first, single-device in parens):
+T-estimation problem. The arms pin the full causal chain (400-step schedule,
+seed 0 in the suite; deterministic for a fixed XLA config, but any single
+trajectory is chaotic ACROSS configs — ~0.03 val / ~0.03 dTk drift between the
+suite's 8-virtual-device environment and a plain single-device run). The
+committed assertions are therefore ONLY the causal facts that held at every
+measured (seed, env) point — seeds 0-3 suite-env + seed 0 single-device, via
+experiments/ntm_identification/calibrate.py; table in that README — with
+margins sized against the measured cross-env drift. Seed-0 numbers below
+(suite env first, single-device in parens):
 
   (a) denoising (oracle arm): the forward-corrected loss resists label-noise
       memorization — train-clean mIoU 0.779 (0.788) vs the CE control's 0.896
@@ -27,13 +30,19 @@ first, single-device in parens):
       clean val to early-stop on). The long schedule is asserted by
       test_planted_noise_long (env-gate SIMT_PLANTED_LONG=1, ~80 min) and its
       captured runs are archived in experiments/ntm_identification/README.md.
-  (b) identification (paper-faithful arm): the known rows of the learned T move
-      toward the planted T* — mean row L1 0.286 -> 0.232 (0.199) — while the
-      verbatim arm's move AWAY, 0.286 -> 0.534 (0.533), and the paper student
-      beats the verbatim student on val by +0.028 in both environments. The
-      estimation does not close the full oracle gap at this tiny scale
-      (learned-T val ties CE): identification is necessary but the val payoff
-      needs the real-data regime where anchors/batches are plentiful.
+  (b) paper-faithful vs verbatim T-dynamics: clearing the leak + code-default
+      lambda_volume keeps the known rows of T substantially closer to the
+      planted T* than the verbatim dynamics (seed 0: 0.286 -> 0.232 (0.199) vs
+      verbatim's 0.286 -> 0.534 (0.533)) and resists the attractor pull that
+      captures verbatim, at no val cost. FULL identification at this toy
+      end-to-end scale is SEED-DEPENDENT and not asserted: seed 0 identifies
+      (dTk falls 19-30%), seeds 1-2 do not (dTk flat or rising — the anchor
+      pixels' realized teacher rows sit too far from T*'s rows, the same
+      anchor-quality failure measured at reference geometry on the real chip,
+      PLANTED_TPU_r05.json: anchors ~1.7 L1 from T*). The idealized-anchor
+      game (experiments/ntm_identification/tgame.py) is where
+      identification-vs-attractor is proven force-by-force; end-to-end, the
+      seed-robust fact is the DIRECTION gap between the two modes.
   (c) verbatim dynamics converge to the PREDICTED class-frequency attractor
       T_ATTR (row_k -> (e_k + cd)/(1 + sum cd)) and away from T*, without
       collapsing the student. This is the pinned behaviour of the reference's
@@ -521,41 +530,48 @@ def _strip_t1(r):
 
 
 def test_planted_noise_recovery(tmp_path):
-    # Measured at this schedule, seed 0 (suite 8-device env / single-device):
-    #   CE       train 0.8963/0.8962  val 0.6716/0.7017
-    #   verbatim train 0.7189/0.7281  val 0.6537/0.6631  dTk ->0.534/0.533
-    #                                 dAttrK 0.248 -> 0.067/0.068
-    #   paper    train 0.7579/0.7694  val 0.6821/0.6906  dTk ->0.232/0.199
-    #   oracle   train 0.7791/0.7882  val 0.6967/0.7046  (T frozen at T*)
-    # Thresholds leave >=10% margin against BOTH measured environments (the
-    # trajectory is chaotic across XLA configs — docstring).
+    # Every assertion below is a causal fact that held at EVERY measured
+    # (seed, environment) point — seeds 0-3 in the suite's 8-virtual-device env
+    # plus seed 0 single-device (experiments/ntm_identification/calibrate.py;
+    # table in that directory's README) — with the stated worst-case margin,
+    # sized against the measured ~0.03 val / ~0.03 dT cross-environment drift
+    # of any single trajectory. No recalibration on XLA/env changes should be
+    # needed; if one trips, re-run calibrate.py and check whether the FACT
+    # broke or only a margin.
     r = run_experiment(tmp_path)
     v, p, o = r["verbatim"], r["paper"], r["oracle"]
     ctx = _strip_t1(r)
 
     # (a) Denoising, oracle arm: the T-corrected loss resists memorizing the
-    # noisy labels (big train-clean gap vs CE) without losing held-out val
-    # (measured margin: +0.025 suite env, +0.003 single-device) — the +0.047
-    # val win at the memorization horizon is asserted by
-    # test_planted_noise_long (the 1200-step schedule, env-gated).
+    # noisy labels (train-clean gap vs CE >= 0.09 at every point) while staying
+    # at-or-above CE on held-out val (worst margin +0.003, single-device seed
+    # 0) and decisively above the learned-T students (worst +0.042) — the
+    # outright +0.047 val win over CE at the memorization horizon is asserted
+    # by test_planted_noise_long (1200-step schedule, env-gated).
     assert o["miou_simt"] < r["miou_ce"] - 0.05, ctx
-    assert o["miou_simt_val"] > r["miou_ce_val"] - 0.005, ctx
+    assert o["miou_simt_val"] > r["miou_ce_val"] - 0.02, ctx
+    assert o["miou_simt_val"] > v["miou_simt_val"] + 0.01, ctx
 
-    # (b) Identification, paper-faithful mode: the known rows of the learned
-    # transition matrices move toward the planted T* — in absolute terms,
-    # decisively vs the verbatim arm at the same schedule, and with a val
-    # payoff over the verbatim student (+0.028 in both environments).
-    assert p["t_dist_known_final"] < 0.90 * p["t_dist_known_init"], ctx
-    assert p["t_dist_known_final"] < 0.50 * v["t_dist_known_final"], ctx
-    assert p["miou_simt_val"] > v["miou_simt_val"] + 0.005, ctx
+    # (b) Paper-faithful T-dynamics vs verbatim: clearing the inner-loop
+    # T-grad leak + code-default lambda_volume keeps T substantially closer to
+    # the planted T* (worst gap 0.112) and away from the attractor (worst gap
+    # +0.046) than the verbatim dynamics, at no val cost (paper-minus-verbatim
+    # val: worst +0.004, best +0.028). FULL identification is seed-dependent
+    # (docstring: anchor quality) and is NOT asserted — seed 0 identifies
+    # (dTk 0.286 -> 0.232); the idealized-anchor game proves the dynamics
+    # force-by-force (experiments/ntm_identification/tgame.py).
+    assert p["t_dist_known_final"] < v["t_dist_known_final"] - 0.05, ctx
+    assert p["t_attr_known_final"] > v["t_attr_known_final"] + 0.015, ctx
+    assert p["miou_simt_val"] > v["miou_simt_val"] - 0.03, ctx
 
     # (c) Reference-verbatim dynamics: T converges to the predicted
     # class-frequency attractor (docs/PARITY.md "NTM identification") — toward
-    # T_ATTR and away from T* — while the student does not collapse (stays
-    # within noise of the CE control).
+    # T_ATTR (worst final/init ratio 0.30 vs the 0.5 bound) and away from T*
+    # (worst move +0.248 vs the 0.1 bound) — while the student does not
+    # collapse (worst val vs CE -0.039, vs the -0.07 collapse bound).
     assert v["t_attr_known_final"] < 0.5 * v["t_attr_known_init"], ctx
-    assert v["t_dist_known_final"] > v["t_dist_known_init"], ctx
-    assert v["miou_simt_val"] > r["miou_ce_val"] - 0.05, ctx
+    assert v["t_dist_known_final"] > v["t_dist_known_init"] + 0.1, ctx
+    assert v["miou_simt_val"] > r["miou_ce_val"] - 0.07, ctx
 
 
 @pytest.mark.skipif(
