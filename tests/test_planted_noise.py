@@ -576,8 +576,9 @@ def test_planted_noise_recovery(tmp_path):
 
 @pytest.mark.skipif(
     not os.environ.get("SIMT_PLANTED_LONG"),
-    reason="~80 min on the 1-core CPU host; set SIMT_PLANTED_LONG=1 to run. "
-    "Captured run archived in experiments/ntm_identification/README.md.",
+    reason="~30-45 min on the 1-core CPU host; set SIMT_PLANTED_LONG=1 to run. "
+    "Captured runs (single-device AND suite-env, both green 2026-08-20) archived "
+    "in experiments/ntm_identification/README.md.",
 )
 def test_planted_noise_long(tmp_path):
     """The memorization-horizon schedule (1200 steps): CE's val peaks ~0.702 at
